@@ -1,0 +1,124 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dvs_mcemvs_tpu.ops import extract
+from dvs_mcemvs_tpu.ops.depth_vector import DepthVector, LINEAR
+
+
+def _naive_masked_median(img, mask, patch):
+    """Direct port of huangMedianFilter's definition: lower median over
+    masked in-bounds neighbors; 0 when the neighborhood is empty."""
+    H, W = img.shape
+    p = patch // 2
+    out = np.zeros_like(img)
+    for y in range(H):
+        for x in range(W):
+            vals = []
+            for dy in range(-p, p + 1):
+                for dx in range(-p, p + 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < H and 0 <= xx < W and mask[yy, xx] > 0:
+                        vals.append(img[yy, xx])
+            if not vals:
+                out[y, x] = 0
+                continue
+            h = np.zeros(256, np.int64)
+            for v in vals:
+                h[v] += 1
+            middle = (len(vals) + 1) // 2
+            m = 0
+            for n in range(256):
+                m += h[n]
+                if m >= middle:
+                    out[y, x] = n
+                    break
+    return out
+
+
+def test_masked_median_matches_naive():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(12, 15)).astype(np.uint8)
+    mask = (rng.uniform(size=(12, 15)) > 0.35).astype(np.uint8)
+    want = _naive_masked_median(img.astype(int), mask, 5)
+    got = np.asarray(
+        extract.masked_median_filter_u8(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask), 5
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_masked_median_all_masked_is_plain_median():
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, size=(9, 9)).astype(np.uint8)
+    mask = np.ones_like(img)
+    got = np.asarray(
+        extract.masked_median_filter_u8(
+            jnp.asarray(img, jnp.float32), jnp.asarray(mask), 3
+        )
+    )
+    want = _naive_masked_median(img.astype(int), mask, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_adaptive_threshold_matches_opencv():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(23)
+    conf = rng.integers(0, 256, size=(32, 40)).astype(np.uint8)
+    for ksize, c in [(5, 5.0), (7, -3.0), (3, 0.0)]:
+        want = cv2.adaptiveThreshold(
+            conf, 1, cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY, ksize, -c
+        )
+        got = np.asarray(
+            extract.adaptive_threshold_mask(jnp.asarray(conf, jnp.float32), ksize, c)
+        )
+        # Allow a whisker of disagreement at exact rounding boundaries.
+        frac_diff = (got != want).mean()
+        assert frac_diff < 0.01, f"ksize={ksize} c={c}: {frac_diff:.4f} differ"
+
+
+def test_normalize_confidence_pinning():
+    conf = jnp.asarray(np.array([[1.0, 2.0], [3.0, 4.0]]), jnp.float32)
+    # Without pinning: range [1,4] -> (0,0)=0 afterwards regardless.
+    out = np.asarray(extract.normalize_confidence(conf, 0.0))
+    assert out[0, 0] == 0.0
+    assert out[1, 1] == 255.0
+    # With max_confidence=10, (0,0) pinned to 10 pre-normalization:
+    out2 = np.asarray(extract.normalize_confidence(conf, 10.0))
+    assert out2[0, 0] == 0.0
+    # value 4 normalizes to (4-2)/(10-2)*255
+    assert out2[1, 1] == pytest.approx(round((4 - 2) / 8 * 255), abs=1)
+
+
+def test_remove_mask_boundary_inclusive():
+    mask = jnp.ones((10, 12), jnp.uint8)
+    out = np.asarray(extract.remove_mask_boundary(mask, 2))
+    assert out[2, 5] == 0 and out[3, 5] == 1  # y <= 2 removed
+    assert out[5, 2] == 0 and out[5, 3] == 1
+    assert out[5, 10] == 0 and out[5, 9] == 1  # x >= W-2 removed
+    assert out[8, 5] == 0 and out[7, 5] == 1  # y >= H-2 removed
+
+
+def test_full_extraction_chain_runs():
+    rng = np.random.default_rng(24)
+    Z, H, W = 8, 24, 32
+    dsi = jnp.asarray(rng.uniform(0, 3, size=(Z, H, W)), jnp.float32)
+    dsi = dsi.at[3, 8:16, 10:20].add(50.0)  # a confident plane patch
+    dv = DepthVector(LINEAR, 1.0, 5.0, Z)
+    opts = extract.DepthMapOptions(
+        adaptive_threshold_kernel_size=5, adaptive_threshold_c=5.0,
+        median_filter_size=5,
+    )
+    res = extract.get_depth_map_from_dsi(dsi, dv, opts)
+    mask = np.asarray(res.mask)
+    depth = np.asarray(res.depth)
+    assert mask.any(), "confident patch should survive thresholding"
+    ys, xs = np.nonzero(mask)
+    inner = (ys > 8) & (ys < 15) & (xs > 10) & (xs < 19)
+    if inner.any():
+        np.testing.assert_allclose(
+            depth[ys[inner], xs[inner]], dv.depths()[3], atol=1e-5
+        )
+    dense = extract.densify_host(res, dv)
+    assert dense.shape == (H, W)

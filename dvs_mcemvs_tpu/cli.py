@@ -1,0 +1,228 @@
+"""Command-line driver — the `run_emvs` equivalent.
+
+Mirrors the reference binary's control flow (reference: mapper_emvs_stereo/
+src/main.cpp:105-434): calibration dispatch, event/pose ingest, trajectory
+chaining through hand-eye and extrinsics, process selection (1/2/5),
+single-shot vs sliding-window scheduling, and artifact output.  Accepts the
+reference's own `--flagfile=<x>.conf` presets.
+
+Usage:
+    python -m dvs_mcemvs_tpu.cli --flagfile configs/example.conf
+    python -m dvs_mcemvs_tpu.cli --bag_filename_left ev0.npz ... --process_method 1
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from . import pipeline
+from .config import RunConfig, config_to_flagfile, parse_args
+from .io import calib as calibmod, events as eventsmod, outputs, poses as posesmod
+from .io.events import TimeOrigin
+from .mapper import DsiShape, Events, Mapper, PointCloudOptions, get_depth_map, get_pointcloud, make_mapper
+from .ops import extract, pointcloud as pcops, se3, trajectory as trajmod
+from .ops.se3 import SE3
+
+log = logging.getLogger("dvs_mcemvs_tpu")
+
+
+def _se3_from_mat(T: np.ndarray) -> SE3:
+    import jax.numpy as jnp
+
+    return se3.from_matrix(jnp.asarray(T, jnp.float32))
+
+
+def _load_events(cfg: RunConfig, path: str, topic: str, offset: float,
+                 origin: TimeOrigin, t_start: float, t_stop: float) -> Events:
+    if path.endswith(".bag"):
+        return eventsmod.read_events_rosbag(
+            path, topic, t_start=t_start, t_stop=t_stop, offset=offset, origin=origin)
+    return eventsmod.read_events(
+        path, t_start=t_start, t_stop=t_stop, offset=offset, origin=origin)
+
+
+def _build_trajectories(
+    poses: trajmod.Trajectory, rig: calibmod.RigCalibration, n_cams: int
+) -> List[trajmod.Trajectory]:
+    """traj_i = poses ∘ T_hand_eye ∘ T_i_0⁻¹ (main.cpp:317-334)."""
+    T_he = _se3_from_mat(rig.T_hand_eye)
+    traj0 = trajmod.apply_right(poses, T_he)
+    trajs = [traj0]
+    for i in range(1, n_cams):
+        T_i0 = _se3_from_mat(rig.extrinsics(i))
+        trajs.append(trajmod.apply_right(traj0, se3.inverse(T_i0)))
+    return trajs
+
+
+def _extract_and_save(
+    mapper: Mapper, dsi, cfg: RunConfig, suffix: str, prefix: str,
+    opts: extract.DepthMapOptions,
+):
+    res = get_depth_map(mapper, dsi, opts)
+    outputs.save_depth_maps(
+        np.asarray(res.depth), np.asarray(res.confidence), np.asarray(res.mask),
+        cfg.min_depth, cfg.max_depth, suffix, prefix)
+    if cfg.save_conf_stats:
+        cmin, cmax = extract.confidence_range_stats(res.confidence)
+        outputs.save_conf_stats(
+            os.path.join(cfg.out_path, f"conf_range_{suffix}.txt"),
+            float(cmin), float(cmax))
+    return res
+
+
+def run(cfg: RunConfig) -> int:
+    os.makedirs(cfg.out_path or ".", exist_ok=True)
+    rig = calibmod.load_calibration(cfg.calib_type, cfg.calib_path, cfg.mocap_calib_path)
+
+    if cfg.bag_filename:
+        cfg.bag_filename_left = cfg.bag_filename
+        cfg.bag_filename_right = cfg.bag_filename
+        cfg.bag_filename_pose = cfg.bag_filename
+
+    trinocular = bool(cfg.event_topic2) and rig.num_cameras >= 3
+    n_cams = 3 if trinocular else 2
+
+    origin = TimeOrigin()
+    log.info("Loading poses from %s", cfg.bag_filename_pose)
+    # The reference loads poses over the FULL time range even in full_seq mode
+    # (main.cpp:201); event files are windowed.
+    pose_traj = posesmod.read_poses(cfg.bag_filename_pose, topic=cfg.pose_topic,
+                                    origin=origin)
+    log.info("Loading events")
+    ev0 = _load_events(cfg, cfg.bag_filename_left, cfg.event_topic0,
+                       cfg.offset0, origin, cfg.start_time_s, cfg.stop_time_s)
+    ev1 = _load_events(cfg, cfg.bag_filename_right, cfg.event_topic1,
+                       cfg.offset1, origin, cfg.start_time_s, cfg.stop_time_s)
+    events = [ev0, ev1]
+    if trinocular:
+        events.append(_load_events(cfg, cfg.bag_filename, cfg.event_topic2,
+                                   cfg.offset2, origin, cfg.start_time_s, cfg.stop_time_s))
+    log.info("Events: %s", [e.num for e in events])
+
+    trajs = _build_trajectories(pose_traj, rig, n_cams)
+
+    shape = DsiShape(cfg.dimX, cfg.dimY, cfg.dimZ, cfg.fov_deg,
+                     cfg.min_depth, cfg.max_depth)
+    mappers = [make_mapper(rig.cams[i], shape, cfg.depth_sampling)
+               for i in range(n_cams)]
+
+    # Event-accumulation previews (main.cpp:336-349).
+    for i, ev in enumerate(events):
+        outputs.save_events_png(
+            os.path.join(cfg.out_path, f"events_{i}.png"), ev,
+            rig.cams[i].width, rig.cams[i].height)
+
+    opts = extract.DepthMapOptions(
+        adaptive_threshold_kernel_size=cfg.adaptive_threshold_kernel_size,
+        adaptive_threshold_c=cfg.adaptive_threshold_c,
+        median_filter_size=cfg.median_filter_size,
+        full_sequence=cfg.full_seq,
+        save_conf_stats=cfg.save_conf_stats,
+        max_confidence=cfg.max_confidence,
+        rv_pos=cfg.rv_pos,
+        collapse_method=cfg.collapse_method,
+    )
+    backend = cfg.splat_backend if cfg.splat_backend != "auto" else "scatter"
+    vopts = pipeline.VotingOptions(packet_size=cfg.packet_size, backend=backend,
+                                   plane_block=cfg.plane_block)
+
+    def run_process(mps, evs, trs, ts):
+        if cfg.process_method == 1:
+            return pipeline.process_1(mps, evs, trs, ts, cfg.stereo_fusion,
+                                      rv_pos=cfg.rv_pos, vopts=vopts)
+        if cfg.process_method == 2:
+            return pipeline.process_2(mps[:2], evs[:2], trs[:2], ts,
+                                      stereo_fusion=cfg.stereo_fusion,
+                                      temporal_fusion=cfg.temporal_fusion,
+                                      num_intervals=cfg.num_intervals,
+                                      rv_pos=cfg.rv_pos, vopts=vopts)
+        if cfg.process_method == 5:
+            return pipeline.process_5(mps[:2], evs[:2], trs[:2], ts,
+                                      stereo_fusion=cfg.stereo_fusion,
+                                      temporal_fusion=cfg.temporal_fusion,
+                                      num_intervals=cfg.num_intervals,
+                                      rv_pos=cfg.rv_pos, vopts=vopts)
+        raise ValueError(f"process_method must be 1, 2 or 5, got {cfg.process_method}")
+
+    with open(os.path.join(cfg.out_path, "run_flags.conf"), "w") as f:
+        f.write(config_to_flagfile(cfg))
+
+    if cfg.full_seq:
+        fopts = pipeline.FullSeqOptions(
+            start_time=cfg.start_time_s, stop_time=cfg.stop_time_s,
+            duration=cfg.duration, out_skip=cfg.out_skip,
+            forward_looking=cfg.forward_looking)
+        n_chunks = 0
+        for k, ts, res in pipeline.run_full_seq(
+                mappers, events, trajs, fopts, run_process):
+            prefix = outputs.timestamp_prefix(cfg.out_path, ts)
+            _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix, opts)
+            if cfg.save_dsi:
+                outputs.write_dsi_npy(prefix + "dsi_fused.npy",
+                                      np.asarray(res.fused_dsi))
+            n_chunks += 1
+            log.info("chunk %d @ ts=%.3f done (%.1f Mev/s)", k, ts,
+                     res.mev_per_s or 0.0)
+        log.info("full_seq: %d chunks written", n_chunks)
+        return 0
+
+    # Single-shot path (main.cpp:303-433).
+    ts = cfg.resolved_ts()
+    res = run_process(mappers, events, trajs, ts)
+    prefix = outputs.timestamp_prefix(cfg.out_path, ts)
+
+    dm = _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix, opts)
+    if cfg.save_dsi:
+        outputs.write_dsi_npy(os.path.join(cfg.out_path, "dsi_fused.npy"),
+                              np.asarray(res.fused_dsi))
+        for name, d in res.dsis.items():
+            outputs.write_dsi_npy(os.path.join(cfg.out_path, f"dsi_{name}.npy"),
+                                  np.asarray(d))
+    if cfg.save_mono:
+        for name, d in res.dsis.items():
+            if name.startswith("camera"):
+                _extract_and_save(mappers[0], d, cfg, name, prefix, opts)
+
+    if cfg.save_pointcloud:
+        pc_opts = PointCloudOptions(cfg.radius_search, cfg.min_num_neighbors)
+        pc = get_pointcloud(mappers[0], np.asarray(dm.depth),
+                            np.asarray(dm.mask), pc_opts)
+        pcops.save_pcd(os.path.join(cfg.out_path, "pointcloud.pcd"), pc)
+        log.info("point cloud: %d points", pc.xyz.shape[0])
+
+        if cfg.late_fusion:
+            # Per-camera depth -> point cloud -> concatenation (main.cpp:404-432).
+            clouds = []
+            for name, d in res.dsis.items():
+                if not name.startswith("camera"):
+                    continue
+                r = get_depth_map(mappers[0], d, opts)
+                clouds.append(get_pointcloud(
+                    mappers[0], np.asarray(r.depth), np.asarray(r.mask), pc_opts))
+            if clouds:
+                merged = pcops.PointCloud(
+                    np.concatenate([c.xyz for c in clouds]),
+                    np.concatenate([c.intensity for c in clouds]))
+                pcops.save_pcd(os.path.join(cfg.out_path, "pointcloud_late_fused.pcd"),
+                               merged)
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    cfg = parse_args(argv if argv is not None else sys.argv[1:])
+    if cfg.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.platform)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

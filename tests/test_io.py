@@ -1,0 +1,130 @@
+import os
+
+import numpy as np
+import pytest
+
+from dvs_mcemvs_tpu.io import events as eventsmod, outputs, poses as posesmod
+from dvs_mcemvs_tpu.io.events import TimeOrigin
+from dvs_mcemvs_tpu.mapper import Events
+
+
+def _mk_events(n=100, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 2.0, n))
+    return Events(rng.integers(0, 64, n).astype(np.int32),
+                  rng.integers(0, 48, n).astype(np.int32),
+                  t, rng.integers(0, 2, n).astype(np.int8))
+
+
+def test_npz_roundtrip(tmp_path):
+    ev = _mk_events()
+    p = str(tmp_path / "ev.npz")
+    eventsmod.write_events_npz(p, ev)
+    back = eventsmod.read_events(p)
+    np.testing.assert_array_equal(back.x, ev.x)
+    np.testing.assert_allclose(back.t, ev.t, atol=1e-9)
+    np.testing.assert_array_equal(back.p, ev.p)
+
+
+def test_time_window_and_offset(tmp_path):
+    ev = _mk_events()
+    p = str(tmp_path / "ev.npz")
+    eventsmod.write_events_npz(p, ev)
+    win = eventsmod.read_events(p, t_start=0.5, t_stop=1.0)
+    assert win.num > 0
+    assert win.t.min() >= 0.5 and win.t.max() <= 1.0
+    shifted = eventsmod.read_events(p, offset=10.0)
+    np.testing.assert_allclose(shifted.t, ev.t + 10.0, atol=1e-9)
+
+
+def test_shared_time_origin(tmp_path):
+    ev = _mk_events()
+    p = str(tmp_path / "ev.npz")
+    eventsmod.write_events_npz(p, ev)
+    origin = TimeOrigin()
+    a = eventsmod.read_events(p, origin=origin)
+    assert a.t[0] == 0.0
+    # second file normalizes against the SAME origin
+    ev2 = Events(ev.x, ev.y, ev.t + 5.0, ev.p)
+    p2 = str(tmp_path / "ev2.npz")
+    eventsmod.write_events_npz(p2, ev2)
+    b = eventsmod.read_events(p2, origin=origin)
+    np.testing.assert_allclose(b.t[0], ev.t[0] + 5.0 - ev.t[0], atol=1e-6)
+
+
+def test_events_h5_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    ev = _mk_events()
+    p = str(tmp_path / "ev.h5")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("events")
+        g["x"] = ev.x
+        g["y"] = ev.y
+        g["t"] = (ev.t * 1e6).astype(np.int64)  # DSEC stores µs ints
+        g["p"] = ev.p
+        f["t_offset"] = np.int64(0)
+    back = eventsmod.read_events(p)
+    np.testing.assert_array_equal(back.x, ev.x)
+    np.testing.assert_allclose(back.t, ev.t, atol=1e-6)
+
+
+def test_events_txt(tmp_path):
+    ev = _mk_events(20)
+    p = str(tmp_path / "ev.txt")
+    with open(p, "w") as f:
+        for i in range(ev.num):
+            f.write(f"{ev.t[i]} {ev.x[i]} {ev.y[i]} {ev.p[i]}\n")
+    back = eventsmod.read_events(p)
+    np.testing.assert_array_equal(back.x, ev.x)
+    np.testing.assert_allclose(back.t, ev.t, atol=1e-9)
+
+
+def test_poses_tum(tmp_path):
+    p = str(tmp_path / "poses.txt")
+    with open(p, "w") as f:
+        f.write("# t x y z qx qy qz qw\n")
+        f.write("0.0 1.0 2.0 3.0 0.0 0.0 0.0 1.0\n")
+        f.write("1.0 2.0 2.0 3.0 0.0 0.0 0.7071068 0.7071068\n")
+    traj = posesmod.read_poses(p)
+    assert traj.n == 2
+    np.testing.assert_allclose(np.asarray(traj.poses.t[0]), [1, 2, 3], atol=1e-6)
+    # wxyz ordering: second pose has qw=0.707 first
+    np.testing.assert_allclose(np.asarray(traj.poses.q[1]),
+                               [0.7071068, 0, 0, 0.7071068], atol=1e-6)
+
+
+def test_poses_npz_matrices(tmp_path):
+    p = str(tmp_path / "poses.npz")
+    T = np.tile(np.eye(4), (3, 1, 1))
+    T[1, 0, 3] = 5.0
+    np.savez(p, t=np.array([0.0, 1.0, 2.0]), T=T)
+    traj = posesmod.read_poses(p)
+    np.testing.assert_allclose(np.asarray(traj.poses.t[1]), [5, 0, 0], atol=1e-6)
+
+
+def test_accumulate_events_polarity():
+    ev = Events(np.array([1, 1, 2]), np.array([0, 0, 1]),
+                np.array([0.0, 0.1, 0.2]), np.array([1, 1, 0]))
+    img = outputs.accumulate_events_image(ev, 4, 3, use_polarity=True)
+    assert img[0, 1] == 255   # +2 -> max
+    assert img[1, 2] == 64    # -1 with half_range 2 -> 128-64
+    assert img[2, 3] == 128   # zero events -> mid
+
+
+def test_output_writers_smoke(tmp_path):
+    pytest.importorskip("cv2")
+    depth = np.full((24, 32), 2.0, np.float32)
+    conf = np.random.default_rng(0).uniform(0, 10, (24, 32)).astype(np.float32)
+    mask = (conf > 5).astype(np.uint8)
+    prefix = str(tmp_path) + os.sep
+    outputs.save_depth_maps(depth, conf, mask, 1.0, 4.0, "fused", prefix)
+    assert os.path.exists(prefix + "depth_points_fused.txt")
+    assert os.path.exists(prefix + "confidence_map_negated_fused.png")
+    assert os.path.exists(prefix + "inv_depth_colored_dilated_fused.png")
+    pts = np.loadtxt(prefix + "depth_points_fused.txt")
+    assert pts.shape[0] == mask.sum()
+    np.testing.assert_allclose(pts[:, 2], 2.0)
+
+    dsi = np.random.default_rng(1).uniform(size=(4, 24, 32)).astype(np.float32)
+    outputs.write_dsi_npy(str(tmp_path / "dsi.npy"), dsi)
+    np.testing.assert_allclose(np.load(str(tmp_path / "dsi.npy")), dsi)

@@ -178,18 +178,16 @@ def remove_mask_boundary(mask: jnp.ndarray, border_size: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def get_depth_map_from_dsi(
-    dsi: jnp.ndarray,
-    depth_vec: DepthVector,
+def extract_from_collapsed(
+    confidence: jnp.ndarray,
+    depth_indices: jnp.ndarray,
+    depths: jnp.ndarray,
     options: DepthMapOptions,
 ) -> DepthMapResult:
-    """The jittable portion of getDepthMapFromDSI (cpp:332-437).
-
-    Telea inpainting (the `depth_map_dense` output) is host-side post-
-    processing; see `densify_host`.
-    """
-    confidence, depth_indices = gridops.collapse(dsi, options.collapse_method)
-
+    """Extraction chain after the Z-collapse: confidence normalization,
+    adaptive Gaussian threshold, masked median, border removal, index→depth
+    (cpp:392-436).  Split out so the sharded path can collapse a
+    plane-sharded DSI inside `shard_map` and reuse everything after."""
     conf_u8 = normalize_confidence(confidence, options.max_confidence)
     mask = adaptive_threshold_mask(
         conf_u8, options.adaptive_threshold_kernel_size, options.adaptive_threshold_c
@@ -202,7 +200,6 @@ def get_depth_map_from_dsi(
     border = max(options.adaptive_threshold_kernel_size // 2, 1)
     mask = remove_mask_boundary(mask, border)
 
-    depths = jnp.asarray(depth_vec.depths())
     depth = depths[jnp.clip(filtered_idx, 0, depths.shape[0] - 1)]
 
     return DepthMapResult(
@@ -212,6 +209,21 @@ def get_depth_map_from_dsi(
         depth_dense=None,
         depth_indices=filtered_idx,
     )
+
+
+def get_depth_map_from_dsi(
+    dsi: jnp.ndarray,
+    depth_vec: DepthVector,
+    options: DepthMapOptions,
+) -> DepthMapResult:
+    """The jittable portion of getDepthMapFromDSI (cpp:332-437).
+
+    Telea inpainting (the `depth_map_dense` output) is host-side post-
+    processing; see `densify_host`.
+    """
+    confidence, depth_indices = gridops.collapse(dsi, options.collapse_method)
+    depths = jnp.asarray(depth_vec.depths())
+    return extract_from_collapsed(confidence, depth_indices, depths, options)
 
 
 def densify_host(result: DepthMapResult, depth_vec: DepthVector) -> np.ndarray:

@@ -42,17 +42,36 @@ class WarpedPackets(NamedTuple):
     xy_z0: jnp.ndarray    # (K, P, 2) float32 — Eq. (11) locations on plane z0
     centers: jnp.ndarray  # (K, 3) float32 — camera center in RV frame
     valid: jnp.ndarray    # (K,) bool — pose lookup succeeded
+    weight: Optional[jnp.ndarray] = None  # (K, P) per-event vote weight
+    # (None = all ones; used for padded / sharded event buffers)
+
+    def event_weights(self) -> jnp.ndarray:
+        """(K*P,) flat per-event weight combining packet validity and the
+        optional per-event weight (0 for padding)."""
+        K, P, _ = self.xy_z0.shape
+        w = jnp.repeat(self.valid.astype(jnp.float32), P)
+        if self.weight is not None:
+            w = w * self.weight.reshape(K * P)
+        return w
 
 
-def num_packets(num_events: int, packet_size: int = DEFAULT_PACKET_SIZE) -> int:
-    """Number of full packets the reference processes: its loop runs while
-    `current + packet_size < num_events` (cpp:88), i.e. floor((E-1)/P)."""
+def num_packets(num_events: int, packet_size: int = DEFAULT_PACKET_SIZE,
+                full: bool = False) -> int:
+    """Number of packets.  Default mirrors the reference loop, which runs
+    while `current + packet_size < num_events` (cpp:88), i.e. floor((E-1)/P).
+    With `full=True` every event is packetized (E // P packets) — used by the
+    sharded path, where buffers are padded to a packet multiple with
+    zero-weight events instead of dropping the tail.
+    """
+    if full:
+        return num_events // packet_size
     return max(0, (num_events - 1) // packet_size)
 
 
-def packet_mid_times(t: jnp.ndarray, packet_size: int = DEFAULT_PACKET_SIZE):
+def packet_mid_times(t: jnp.ndarray, packet_size: int = DEFAULT_PACKET_SIZE,
+                     full: bool = False):
     """Midpoint timestamp of each packet (cpp:91): t[k*P + P/2]."""
-    K = num_packets(t.shape[0], packet_size)
+    K = num_packets(t.shape[0], packet_size, full)
     idx = jnp.arange(K) * packet_size + packet_size // 2
     return t[idx]
 
@@ -69,6 +88,8 @@ def warp_events_to_z0(
     z0: float,
     width: int,
     packet_size: int = DEFAULT_PACKET_SIZE,
+    ev_weight: Optional[jnp.ndarray] = None,
+    full: bool = False,
 ) -> WarpedPackets:
     """Steps 1-2: packet poses, homographies, event transfer to plane z0.
 
@@ -82,12 +103,12 @@ def warp_events_to_z0(
     only differs for events at the very edge of the pose trajectory.
     """
     E = x.shape[0]
-    K = num_packets(E, packet_size)
+    K = num_packets(E, packet_size, full)
     n = K * packet_size
     xk = x[:n].reshape(K, packet_size)
     yk = y[:n].reshape(K, packet_size)
 
-    ts_mid = packet_mid_times(t, packet_size)
+    ts_mid = packet_mid_times(t, packet_size, full)
     T_w_ev, valid = trajmod.pose_at(traj, ts_mid)  # batched SE(3) lerp
     T_rv_ev = se3.compose(
         SE3(
@@ -115,7 +136,8 @@ def warp_events_to_z0(
     hy = H_px[:, None, 1, 0] * u + H_px[:, None, 1, 1] * v + H_px[:, None, 1, 2]
     hz = H_px[:, None, 2, 0] * u + H_px[:, None, 2, 1] * v + H_px[:, None, 2, 2]
     xy_z0 = jnp.stack([hx / hz, hy / hz], axis=-1)
-    return WarpedPackets(xy_z0.astype(jnp.float32), centers, valid)
+    w = None if ev_weight is None else ev_weight[:n].reshape(K, packet_size)
+    return WarpedPackets(xy_z0.astype(jnp.float32), centers, valid, w)
 
 
 def eq15_coefficients(centers: jnp.ndarray, depths: jnp.ndarray, z0: float,
@@ -200,7 +222,7 @@ def splat_scatter(
     K, P, _ = packets.xy_z0.shape
     E = K * P
     xy = packets.xy_z0.reshape(E, 2)
-    pw = jnp.repeat(packets.valid.astype(jnp.float32), P)
+    pw = packets.event_weights()
     coeffs = _blocked_coefficients(packets.centers, depths, z0,
                                    (fx, fy, cx, cy), plane_block)
     Z = depths.shape[0]
@@ -253,7 +275,7 @@ def splat_sort(
     K, P, _ = packets.xy_z0.shape
     E = K * P
     xy = packets.xy_z0.reshape(E, 2)
-    pw = jnp.repeat(packets.valid.astype(jnp.float32), P)
+    pw = packets.event_weights()
     coeffs = _blocked_coefficients(packets.centers, depths, z0,
                                    (fx, fy, cx, cy), plane_block)
     Z = depths.shape[0]

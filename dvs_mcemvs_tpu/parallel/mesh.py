@@ -1,0 +1,61 @@
+"""Device-mesh construction for the MC-EMVS workload.
+
+The reference's only compute parallelism is an OpenMP loop over depth planes
+(reference: mapper_emvs_stereo/src/mapper_emvs_stereo.cpp:166-172).  The TPU
+build generalizes it to a 2D logical mesh:
+
+  - axis "event": data parallelism over the event stream.  Voting is a pure
+    sum over events (fillVoxelGrid accumulation, cpp:174-203), so each shard
+    votes a partial DSI and a `psum` over this axis reconstructs the exact
+    single-device grid.
+  - axis "plane": model parallelism over depth planes — the direct analog of
+    the OpenMP axis.  Zero communication during voting; one cheap
+    `all_gather` of collapsed 2D maps at extraction time.
+
+The "event" axis is the DCN-friendly one (pure reduce at the end); "plane"
+should ride ICI when both are used.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+EVENT_AXIS = "event"
+PLANE_AXIS = "plane"
+
+
+def pick_mesh_shape(
+    n_devices: int, dim_z: int, max_plane_shards: int = 8
+) -> Tuple[int, int]:
+    """(n_event, n_plane) factorization of `n_devices`.
+
+    Prefers plane shards up to `max_plane_shards` (they need no communication
+    during voting at all), provided they divide `dim_z` evenly; remaining
+    factor becomes event shards.
+    """
+    n_plane = 1
+    for cand in range(min(max_plane_shards, n_devices), 0, -1):
+        if n_devices % cand == 0 and dim_z % cand == 0:
+            n_plane = cand
+            break
+    return n_devices // n_plane, n_plane
+
+
+def make_mesh(
+    n_event: int,
+    n_plane: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the ("event", "plane") mesh over the first n_event*n_plane
+    devices (or an explicit device list)."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_event * n_plane
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_event, n_plane)
+    return Mesh(arr, (EVENT_AXIS, PLANE_AXIS))

@@ -1,0 +1,255 @@
+"""Sharded multi-camera mapping step: pjit/shard_map over ("event", "plane").
+
+The full MC-EMVS chunk step — per-camera event warp, depth-plane voting,
+cross-camera fusion, Z-collapse, depth-map extraction — compiled once over a
+device mesh.  Replaces both the reference's OpenMP loop over depth planes
+(reference: mapper_emvs_stereo/src/mapper_emvs_stereo.cpp:166-172) and its
+absent multi-node layer with XLA collectives:
+
+  - events are sharded along the "event" mesh axis; each shard votes a
+    partial DSI for its slice of the stream and a `psum` over "event"
+    reconstructs the exact grid (voting is a linear sum over events,
+    cpp:174-203, so the reduction is exact up to float reassociation);
+  - depth planes are sharded along the "plane" axis; voting needs zero
+    communication there (each shard owns its z-block, same invariant as the
+    OpenMP threads), and only the collapsed 2D (confidence, argmax) maps are
+    `all_gather`ed for the global depth decision;
+  - the post-collapse extraction chain (adaptive threshold, masked median)
+    runs replicated — it is 2D and cheap relative to voting.
+
+Event buffers are padded to equal shard/packet multiples with zero-weight
+events instead of dropping tails (see `pad_events_for_sharding`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mapper import Events, Mapper
+from ..ops import extract, grid as gridops, trajectory as trajmod, voting
+from ..ops.se3 import SE3
+from .mesh import EVENT_AXIS, PLANE_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedRigSpec:
+    """Static (hashable) description of the rig and DSI geometry."""
+
+    n_cameras: int
+    width: int
+    height: int
+    dim_z: int
+    z0: float
+    vcam_params: Tuple[float, float, float, float]  # fx, fy, cx, cy of RV cam
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedStepConfig:
+    """Static algorithm knobs of the fused step."""
+
+    fusion_method: int = gridops.FUSE_HM
+    packet_size: int = voting.DEFAULT_PACKET_SIZE
+    backend: str = "scatter"
+    plane_block: int = 8
+    extract_options: extract.DepthMapOptions = extract.DepthMapOptions()
+
+
+def rig_spec_from_mappers(mappers: Sequence[Mapper]) -> ShardedRigSpec:
+    m0 = mappers[0]
+    return ShardedRigSpec(
+        n_cameras=len(mappers),
+        width=m0.width,
+        height=m0.height,
+        dim_z=m0.depth_vec.n,
+        z0=float(m0.depth_vec.depths()[0]),
+        vcam_params=(
+            float(m0.vcam.fx), float(m0.vcam.fy),
+            float(m0.vcam.cx), float(m0.vcam.cy),
+        ),
+    )
+
+
+def pad_events_for_sharding(
+    events: Sequence[Events],
+    n_event_shards: int,
+    packet_size: int = voting.DEFAULT_PACKET_SIZE,
+    capacity: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stack per-camera events into (ncam, E_pad) arrays with vote weights.
+
+    E_pad is a common multiple of `n_event_shards * packet_size` covering the
+    largest camera stream (or the explicit `capacity` — use a fixed capacity
+    to keep jit shapes stable across chunks).  Padding events carry weight 0
+    and the camera's last timestamp, so they land in valid packets but
+    contribute nothing (the sharded splat weighs every vote by `w`).
+    """
+    quantum = n_event_shards * packet_size
+    max_e = max(ev.num for ev in events)
+    if capacity is not None:
+        if capacity < max_e:
+            raise ValueError(f"capacity {capacity} < largest stream {max_e}")
+        max_e = capacity
+    e_pad = int(-(-max_e // quantum) * quantum)
+
+    ncam = len(events)
+    x = np.zeros((ncam, e_pad), np.int32)
+    y = np.zeros((ncam, e_pad), np.int32)
+    t = np.zeros((ncam, e_pad), np.float32)
+    w = np.zeros((ncam, e_pad), np.float32)
+    for c, ev in enumerate(events):
+        n = ev.num
+        x[c, :n] = ev.x
+        y[c, :n] = ev.y
+        t[c, :n] = ev.t
+        w[c, :n] = 1.0
+        t[c, n:] = ev.t[-1] if n else 0.0
+    return x, y, t, w
+
+
+def _local_step(
+    spec: ShardedRigSpec,
+    cfg: ShardedStepConfig,
+    n_plane: int,
+    x, y, t, w,
+    traj_ts, traj_q, traj_t,
+    rv_q, rv_t,
+    lut, K_cam, Kv_inv, depths,
+):
+    """Per-device body (runs under shard_map).
+
+    x, y, t, w: (ncam, E_local); traj_*: per-camera replicated pose tables;
+    depths: full (Z,) plane table — each device slices its z-block.
+    Returns (fused local DSI block, global confidence, global depth index).
+    """
+    zblock = spec.dim_z // n_plane
+    pi = jax.lax.axis_index(PLANE_AXIS)
+    local_depths = jax.lax.dynamic_slice(depths, (pi * zblock,), (zblock,))
+
+    splat = voting.SPLAT_BACKENDS[cfg.backend]
+    dsis = []
+    for c in range(spec.n_cameras):
+        traj = trajmod.Trajectory(traj_ts[c], SE3(traj_q[c], traj_t[c]))
+        packets = voting.warp_events_to_z0(
+            x[c], y[c], t[c], traj, SE3(rv_q, rv_t), lut[c], K_cam[c], Kv_inv,
+            z0=spec.z0, width=spec.width, packet_size=cfg.packet_size,
+            ev_weight=w[c], full=True,
+        )
+        dsi_c = splat(
+            packets, local_depths, spec.z0, spec.vcam_params,
+            spec.width, spec.height, plane_block=cfg.plane_block,
+        )
+        # Exact reconstruction of the single-device grid: voting is linear in
+        # events, so partial grids sum (DSI additivity, SURVEY.md §4).
+        dsi_c = jax.lax.psum(dsi_c, EVENT_AXIS)
+        dsis.append(dsi_c)
+
+    fused = gridops.fuse_many(dsis, cfg.fusion_method)
+
+    # Local collapse over the z-block, then a global depth decision from the
+    # gathered per-shard (max, argmax) pairs.  Ties resolve to the lowest z
+    # (first occurrence), matching a sequential scan of the full axis.
+    conf_l, idx_l = gridops.collapse(fused, cfg.extract_options.collapse_method)
+    idx_l = idx_l.astype(jnp.int32) + pi * zblock
+    confs = jax.lax.all_gather(conf_l, PLANE_AXIS)   # (n_plane, H, W)
+    idxs = jax.lax.all_gather(idx_l, PLANE_AXIS)
+    best = jnp.argmax(confs, axis=0)
+    conf = jnp.take_along_axis(confs, best[None], axis=0)[0]
+    idx = jnp.take_along_axis(idxs, best[None], axis=0)[0]
+    return fused, conf, idx
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    spec: ShardedRigSpec,
+    cfg: ShardedStepConfig = ShardedStepConfig(),
+) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Compile the full chunk step over `mesh`.
+
+    Returns step(x, y, t, w, traj_ts, traj_q, traj_t, rv_q, rv_t, lut,
+                 K_cam, Kv_inv, depths) -> dict with:
+      "dsi":   (Z, H, W) fused DSI, sharded over planes on the mesh
+      "depth", "confidence", "mask", "depth_indices": replicated 2D maps
+    """
+    n_plane = mesh.shape[PLANE_AXIS]
+    if spec.dim_z % n_plane != 0:
+        raise ValueError(f"dim_z {spec.dim_z} not divisible by plane shards {n_plane}")
+
+    local = functools.partial(_local_step, spec, cfg, n_plane)
+
+    ev_spec = P(None, EVENT_AXIS)     # (ncam, E) events sharded over streams
+    rep = P()
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(ev_spec, ev_spec, ev_spec, ev_spec,
+                  rep, rep, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=(P(PLANE_AXIS), rep, rep),
+        check_vma=False,
+    )
+
+    def step(x, y, t, w, traj_ts, traj_q, traj_t, rv_q, rv_t,
+             lut, K_cam, Kv_inv, depths):
+        fused, conf, idx = sharded(
+            x, y, t, w, traj_ts, traj_q, traj_t, rv_q, rv_t,
+            lut, K_cam, Kv_inv, depths,
+        )
+        result = extract.extract_from_collapsed(conf, idx, depths, cfg.extract_options)
+        return {
+            "dsi": fused,
+            "depth": result.depth,
+            "confidence": result.confidence,
+            "mask": result.mask,
+            "depth_indices": result.depth_indices,
+        }
+
+    ev_sh = NamedSharding(mesh, ev_spec)
+    rep_sh = NamedSharding(mesh, rep)
+    return jax.jit(
+        step,
+        in_shardings=(ev_sh, ev_sh, ev_sh, ev_sh,
+                      rep_sh, rep_sh, rep_sh, rep_sh, rep_sh,
+                      rep_sh, rep_sh, rep_sh, rep_sh),
+    )
+
+
+def sharded_step_inputs(
+    mappers: Sequence[Mapper],
+    events: Sequence[Events],
+    trajs: Sequence[trajmod.Trajectory],
+    T_rv_w: SE3,
+    n_event_shards: int,
+    packet_size: int = voting.DEFAULT_PACKET_SIZE,
+    capacity: Optional[int] = None,
+):
+    """Assemble the array arguments of a sharded step from host-side objects.
+
+    Pose tables are padded to the largest camera's length (repeating the last
+    row, weightless for lookups past the end since `pose_at` clamps and
+    flags validity)."""
+    x, y, t, w = pad_events_for_sharding(events, n_event_shards, packet_size, capacity)
+    n_pose = max(int(tr.ts.shape[0]) for tr in trajs)
+
+    def pad_tail(a, n):
+        a = np.asarray(a)
+        if a.shape[0] == n:
+            return a
+        reps = np.repeat(a[-1:], n - a.shape[0], axis=0)
+        return np.concatenate([a, reps], axis=0)
+
+    traj_ts = np.stack([pad_tail(tr.ts, n_pose) for tr in trajs])
+    traj_q = np.stack([pad_tail(tr.poses.q, n_pose) for tr in trajs])
+    traj_t = np.stack([pad_tail(tr.poses.t, n_pose) for tr in trajs])
+    lut = np.stack([m.lut for m in mappers])
+    K_cam = np.stack([np.asarray(m.cam.P, np.float32) for m in mappers])
+    Kv_inv = np.asarray(np.linalg.inv(mappers[0].vcam.P), np.float32)
+    depths = np.asarray(mappers[0].depth_vec.depths(), np.float32)
+    return (x, y, t, w, traj_ts.astype(np.float32), traj_q.astype(np.float32),
+            traj_t.astype(np.float32), np.asarray(T_rv_w.q, np.float32),
+            np.asarray(T_rv_w.t, np.float32), lut, K_cam, Kv_inv, depths)

@@ -71,7 +71,7 @@ def make_step(mapper, traj, T_rv_w, backend, plane_block):
     depths = jnp.asarray(mapper.depth_vec.depths(), jnp.float32)
     traj_ts, traj_q, traj_t = traj.ts, traj.poses.q, traj.poses.t
     rv_q, rv_t = T_rv_w.q, T_rv_w.t
-    splat = voting.SPLAT_BACKENDS[backend]
+    splat = voting.resolve_backend(backend)
 
     @jax.jit
     def step(x, y, t):
@@ -106,9 +106,14 @@ def main():
     dev_args = (jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32),
                 jnp.asarray(t, jnp.float32))
 
+    # Candidate backends: the hist group size is bounded by the workload's
+    # camera travel (see voting_hist.auto_group_size) so the throughput
+    # number is taken at honest accuracy.
+    from dvs_mcemvs_tpu.ops.voting_hist import auto_group_size
+    g = auto_group_size(0.5, N_EVENTS // PACKET, WIDTH * 0.9, 2.0, 40.0)
     candidates = []
-    for backend, plane_block in [("scatter", 4), ("scatter", 8),
-                                 ("sort", 4), ("sort", 8)]:
+    for backend, plane_block in [(f"hist:g{g},ss2", 8), (f"hist:g{g}", 8),
+                                 (f"hist:g{2*g}", 16)]:
         try:
             step = make_step(mapper, traj, T_rv_w, backend, plane_block)
             dt = time_step(step, dev_args, iters=1)

@@ -118,7 +118,7 @@ def _evaluate_dsi_jit(
         x, y, t, traj, SE3(T_rv_w_q, T_rv_w_t), lut, K_cam, Kv_inv,
         z0=z0, width=width, packet_size=packet_size,
     )
-    fn = voting.SPLAT_BACKENDS[backend]
+    fn = voting.resolve_backend(backend)
     return fn(packets, depths, z0, vcam_params, width, height, plane_block=plane_block)
 
 

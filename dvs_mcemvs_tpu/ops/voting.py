@@ -319,6 +319,55 @@ SPLAT_BACKENDS = {
 }
 
 
+def _register_hist_backend():
+    # Deferred import: voting_hist imports WarpedPackets from this module.
+    from . import voting_hist
+
+    SPLAT_BACKENDS["hist"] = voting_hist.make_hist_backend(group_size=16)
+    SPLAT_BACKENDS["hist_exact"] = voting_hist.make_hist_backend(
+        group_size=1, supersample=2)
+
+
+_register_hist_backend()
+
+
+@functools.lru_cache(maxsize=None)
+def resolve_backend(spec: str):
+    """Resolve a backend spec string to a splat callable.
+
+    Plain names index SPLAT_BACKENDS ("scatter", "sort", "hist",
+    "hist_exact").  The hist backend takes knobs after a colon:
+    "hist:g8" (group_size), "hist:g8,ss2" (supersample),
+    "hist:g8,px96,py16" (padding), "hist:g8,nocorr" (disable the sweep
+    correction), "hist:g8,f32" (f32 matmuls).  Specs are strings so they
+    stay hashable static jit arguments.
+    """
+    name, _, args = spec.partition(":")
+    if not args:
+        return SPLAT_BACKENDS[name]
+    if name != "hist":
+        raise ValueError(f"backend {name!r} takes no {args!r} options")
+    from . import voting_hist
+
+    kw = {}
+    for tok in args.split(","):
+        if tok.startswith("g"):
+            kw["group_size"] = int(tok[1:])
+        elif tok.startswith("ss"):
+            kw["supersample"] = int(tok[2:])
+        elif tok.startswith("px"):
+            kw["pad_x"] = int(tok[2:])
+        elif tok.startswith("py"):
+            kw["pad_y"] = int(tok[2:])
+        elif tok == "nocorr":
+            kw["correct"] = False
+        elif tok == "f32":
+            kw["dtype"] = jnp.float32
+        else:
+            raise ValueError(f"unknown hist option {tok!r} in {spec!r}")
+    return voting_hist.make_hist_backend(**kw)
+
+
 def vote_dsi(
     packets: WarpedPackets,
     depths: jnp.ndarray,
@@ -328,7 +377,7 @@ def vote_dsi(
 ) -> jnp.ndarray:
     """Step 3: vote all packets into a fresh (Z, H, W) DSI."""
     z0 = float(np.asarray(depths)[0])
-    fn = SPLAT_BACKENDS[backend]
+    fn = resolve_backend(backend)
     return fn(
         packets,
         jnp.asarray(depths, dtype=jnp.float32),

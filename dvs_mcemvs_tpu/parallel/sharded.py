@@ -132,7 +132,7 @@ def _local_step(
     pi = jax.lax.axis_index(PLANE_AXIS)
     local_depths = jax.lax.dynamic_slice(depths, (pi * zblock,), (zblock,))
 
-    splat = voting.SPLAT_BACKENDS[cfg.backend]
+    splat = voting.resolve_backend(cfg.backend)
     dsis = []
     for c in range(spec.n_cameras):
         traj = trajmod.Trajectory(traj_ts[c], SE3(traj_q[c], traj_t[c]))

@@ -67,7 +67,9 @@ def simulate_events(pts_w, cam, cam_positions, t_samples, rng):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", default="scatter", choices=list(voting.SPLAT_BACKENDS))
+    ap.add_argument("--backend", default="scatter",
+                    help="splat backend spec (see voting.resolve_backend): "
+                         "scatter, sort, hist, hist_exact, hist:g8,ss2, ...")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
 

@@ -1,0 +1,102 @@
+"""Histogram-resample voting backend: convergence to the exact splat.
+
+The hist backend (ops/voting_hist.py) approximates the reference voting
+kernel (mapper_emvs_stereo.cpp:151-205) by grouped z0 histograms + per-plane
+affine resamples.  With group_size=1 (per-packet coefficients, exact
+grouping) and fine supersampling it must converge to the scatter backend's
+DSI; the depth decision (argmax) must agree almost everywhere.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvs_mcemvs_tpu import mapper as mappermod, pipeline
+from dvs_mcemvs_tpu.mapper import DsiShape, make_mapper
+from dvs_mcemvs_tpu.ops import grid as gridops, trajectory as trajmod, voting
+from dvs_mcemvs_tpu.ops.voting_hist import auto_group_size
+from dvs_mcemvs_tpu.utils import synthetic
+
+PACKET = 512
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rig = synthetic.esim_like_rig()
+    rng = np.random.default_rng(0)
+    pts = synthetic.make_scene(rig, rng, 2000)
+    ev = synthetic.simulate_events(rig, pts, 0, n_samples=18, rng=rng)
+    shape = DsiShape(dim_z=24, min_depth=1.0, max_depth=4.0)
+    m = make_mapper(rig.cam, shape)
+    ts, q, p = synthetic.rig_poses(rig)
+    traj = trajmod.from_arrays(ts, q, p)
+    T_rv_w = pipeline.place_reference_view(traj, 0.5)
+    ref = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="scatter"))
+    return m, ev, traj, T_rv_w, ref
+
+
+def _argmax_agreement(ref, dsi, top_frac=0.2):
+    cr, ir = gridops.collapse_max(jnp.asarray(ref))
+    ch, ih = gridops.collapse_max(jnp.asarray(dsi))
+    conf = np.asarray(cr)
+    sel = conf > np.quantile(conf, 1 - top_frac)
+    return float(np.mean(
+        np.abs(np.asarray(ir)[sel].astype(int)
+               - np.asarray(ih)[sel].astype(int)) <= 1))
+
+
+def test_hist_exact_converges(setup):
+    m, ev, traj, T_rv_w, ref = setup
+    dsi = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g1,ss2"))
+    corr = np.corrcoef(ref.ravel(), dsi.ravel())[0, 1]
+    assert corr > 0.995
+    assert _argmax_agreement(ref, dsi) > 0.92
+    # total vote mass is preserved (away from borders both splat all events)
+    assert abs(dsi.sum() / max(ref.sum(), 1) - 1) < 0.05
+
+
+def test_hist_grouped_reasonable(setup):
+    """Coarse grouping with the sweep correction stays structurally close."""
+    m, ev, traj, T_rv_w, ref = setup
+    dsi = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g4,ss2"))
+    corr = np.corrcoef(ref.ravel(), dsi.ravel())[0, 1]
+    assert corr > 0.94
+
+
+def test_correction_improves_grouping(setup):
+    m, ev, traj, T_rv_w, ref = setup
+    on = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g16,ss2"))
+    off = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g16,ss2,nocorr"))
+    c_on = np.corrcoef(ref.ravel(), on.ravel())[0, 1]
+    c_off = np.corrcoef(ref.ravel(), off.ravel())[0, 1]
+    assert c_on > c_off
+
+
+def test_auto_group_size():
+    # slower motion / shorter sweep -> bigger groups
+    g_fast = auto_group_size(1.0, 1000, 500, 2, 40)
+    g_slow = auto_group_size(0.01, 1000, 500, 2, 40)
+    assert g_slow > g_fast >= 1
+    # power of two, bounded
+    for g in (g_fast, g_slow):
+        assert g & (g - 1) == 0
+    assert auto_group_size(0.0, 1000, 500, 2, 40) == 1000
+
+
+def test_resolve_backend_specs():
+    fn = voting.resolve_backend("hist:g8,ss2,px96,py16,nocorr,f32")
+    assert fn.keywords["group_size"] == 8
+    assert fn.keywords["supersample"] == 2
+    assert fn.keywords["pad_x"] == 96
+    assert fn.keywords["pad_y"] == 16
+    assert fn.keywords["correct"] is False
+    assert voting.resolve_backend("scatter") is voting.SPLAT_BACKENDS["scatter"]
+    with pytest.raises(ValueError):
+        voting.resolve_backend("hist:bogus")
+    with pytest.raises(ValueError):
+        voting.resolve_backend("scatter:g8")

@@ -127,7 +127,23 @@ def run(cfg: RunConfig) -> int:
         rv_pos=cfg.rv_pos,
         collapse_method=cfg.collapse_method,
     )
-    backend = cfg.splat_backend if cfg.splat_backend != "auto" else "scatter"
+    backend = cfg.splat_backend
+    if backend == "auto":
+        # Pick the MXU histogram backend with a grouping bounded by the rig's
+        # actual travel over one chunk (voting_hist.auto_group_size).
+        from .ops.voting_hist import auto_group_size
+
+        pos = np.asarray(trajs[0].poses.t)
+        span = cfg.duration if cfg.full_seq else (cfg.stop_time_s - cfg.start_time_s)
+        total_t = float(np.asarray(trajs[0].ts)[-1] - np.asarray(trajs[0].ts)[0])
+        travel = float(np.linalg.norm(np.diff(pos, axis=0), axis=1).sum())
+        chunk_travel = travel * (span / total_t if total_t > 0 else 1.0)
+        n_pk = max(1, min(e.num for e in events) // cfg.packet_size)
+        g = auto_group_size(chunk_travel, n_pk, float(mappers[0].vcam.fx),
+                            cfg.min_depth, cfg.max_depth)
+        backend = f"hist:g{g},ss2"
+        log.info("auto backend: %s (chunk travel %.3f m, %d packets)",
+                 backend, chunk_travel, n_pk)
     vopts = pipeline.VotingOptions(packet_size=cfg.packet_size, backend=backend,
                                    plane_block=cfg.plane_block)
 
@@ -157,9 +173,23 @@ def run(cfg: RunConfig) -> int:
             start_time=cfg.start_time_s, stop_time=cfg.stop_time_s,
             duration=cfg.duration, out_skip=cfg.out_skip,
             forward_looking=cfg.forward_looking)
+        runner = pipeline.run_full_seq(mappers, events, trajs, fopts, run_process)
+        if cfg.use_event_store:
+            try:
+                from .io import evstore
+
+                stores = []
+                for i, ev in enumerate(events):
+                    path = os.path.join(cfg.out_path, f".events_{i}.evs")
+                    evstore.write_store(path, ev)
+                    stores.append(evstore.EventStore(path))
+                runner = pipeline.run_full_seq_stores(
+                    mappers, stores, trajs, fopts, run_process)
+                log.info("full_seq: native event store + prefetch enabled")
+            except Exception as e:  # no toolchain: keep the numpy path
+                log.warning("native event store unavailable (%s)", e)
         n_chunks = 0
-        for k, ts, res in pipeline.run_full_seq(
-                mappers, events, trajs, fopts, run_process):
+        for k, ts, res in runner:
             prefix = outputs.timestamp_prefix(cfg.out_path, ts)
             _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix, opts)
             if cfg.save_dsi:

@@ -89,7 +89,8 @@ class RunConfig:
     # --- TPU-framework extensions (no reference counterpart) ---
     platform: str = ""                    # '' = session default; 'cpu' | 'tpu' | 'axon'
     depth_sampling: str = LINEAR          # 'linear' | 'inverse' (runtime USE_INVERSE_DEPTH)
-    splat_backend: str = "auto"           # 'auto' | 'scatter' | 'sort' | 'pallas'
+    splat_backend: str = "auto"           # 'auto' | 'scatter' | 'sort' | 'hist[:g8,ss2,...]'
+    use_event_store: bool = True          # native mmap store + prefetch in full_seq
     packet_size: int = 1024               # events per shared-pose packet (cpp:88)
     plane_block: int = 8                  # depth planes per voting block
     collapse_method: int = -1             # -1 argmax; 0-4 focus measures

@@ -328,3 +328,34 @@ def run_full_seq(
             log.warning("chunk %d [%.3f, %.3f): skipped (%s)", k, t0, t1, e)
             continue
         yield k, ts, res
+
+
+def run_full_seq_stores(
+    mappers: Sequence[Mapper],
+    stores: Sequence,                     # io.evstore.EventStore per camera
+    trajs: Sequence[trajmod.Trajectory],
+    opts: FullSeqOptions,
+    process: Callable[..., ProcessResult],
+    **process_kwargs,
+) -> Iterator[Tuple[int, float, ProcessResult]]:
+    """full_seq over native event stores with chunk-ahead page prefetch.
+
+    Identical chunking to `run_full_seq`, but windows come from the mmap'd
+    stores (O(log E) native binary search) and while chunk k computes on
+    the device, each store's background thread warms chunk k+1's pages —
+    the ingest/compute overlap absent from the reference's serial loop
+    (main.cpp:173-302).
+    """
+    windows = list(full_seq_windows(opts))
+    for k, (t0, t1, ts) in enumerate(windows):
+        if k + 1 < len(windows):
+            n0, n1, _ = windows[k + 1]
+            for s in stores:
+                s.prefetch(n0, n1)
+        chunk = [s.window(t0, t1) for s in stores]
+        try:
+            res = process(mappers, chunk, trajs, ts, **process_kwargs)
+        except ValueError as e:
+            log.warning("chunk %d [%.3f, %.3f): skipped (%s)", k, t0, t1, e)
+            continue
+        yield k, ts, res

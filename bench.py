@@ -62,23 +62,26 @@ def make_step(mapper, traj, T_rv_w, backend, plane_block):
     from dvs_mcemvs_tpu.ops import trajectory as trajmod, voting
     from dvs_mcemvs_tpu.ops.se3 import SE3
 
+    from dvs_mcemvs_tpu.ops import camera as camops
+
     z0 = float(mapper.depth_vec.depths()[0])
     vp = (float(mapper.vcam.fx), float(mapper.vcam.fy),
           float(mapper.vcam.cx), float(mapper.vcam.cy))
-    lut = jnp.asarray(mapper.lut)
     K_cam = jnp.asarray(mapper.cam.P, jnp.float32)
     Kv_inv = jnp.asarray(np.linalg.inv(mapper.vcam.P), jnp.float32)
     depths = jnp.asarray(mapper.depth_vec.depths(), jnp.float32)
     traj_ts, traj_q, traj_t = traj.ts, traj.poses.q, traj.poses.t
     rv_q, rv_t = T_rv_w.q, T_rv_w.t
+    rect_params = camops.rect_static(mapper.cam)
     splat = voting.resolve_backend(backend)
 
     @jax.jit
     def step(x, y, t):
         trj = trajmod.Trajectory(traj_ts, SE3(traj_q, traj_t))
         packets = voting.warp_events_to_z0(
-            x, y, t, trj, SE3(rv_q, rv_t), lut, K_cam, Kv_inv,
+            x, y, t, trj, SE3(rv_q, rv_t), None, K_cam, Kv_inv,
             z0=z0, width=mapper.width, packet_size=PACKET, full=True,
+            rect_params=rect_params,
         )
         return splat(packets, depths, z0, vp, mapper.width, mapper.height,
                      plane_block=plane_block)
@@ -112,8 +115,12 @@ def main():
     from dvs_mcemvs_tpu.ops.voting_hist import auto_group_size
     g = auto_group_size(0.5, N_EVENTS // PACKET, WIDTH * 0.9, 2.0, 40.0)
     candidates = []
-    for backend, plane_block in [(f"hist:g{g},ss2", 8), (f"hist:g{g}", 8),
-                                 (f"hist:g{2*g}", 16)]:
+    for backend, plane_block in [(f"hist:g{g},seg10,pl", 10),
+                                 (f"hist:g{g},seg20,pl", 5),
+                                 (f"hist:g{g},ss2,seg10,pl", 10),
+                                 (f"hist:g{g},pl", 16),
+                                 (f"hist:g{g},i8,seg10", 10),
+                                 (f"hist:g{g},i8", 16)]:
         try:
             step = make_step(mapper, traj, T_rv_w, backend, plane_block)
             dt = time_step(step, dev_args, iters=1)

@@ -1,0 +1,184 @@
+"""Banded separable affine resample-and-accumulate — the Pallas TPU kernel
+behind DSI voting's two hot stages (ops/voting_hist.py):
+
+  * plane sweep:  DSI[zi]      = sum_g  resample(hist[g], map[g, zi])
+  * leaf merge:   super[p]     = sum_l  resample(hist[p*R + l], map[p, l])
+
+Both are sums of separable affine resamples of (hs, ws) histograms.  The
+XLA formulation builds DENSE banded matrices (hat(q*s + t - v) has a width-2
+band) and runs full (hs x Ho) / (ws x Wo) matmuls — correct, but ~4-6x the
+necessary MXU work and it materializes every band matrix in HBM.
+
+This kernel exploits the bandedness: an affine map sends an output tile of
+TV rows to a CONTIGUOUS input band of ~TV/s + margin rows, so each output
+tile needs one small (QV x TV) tap matrix built in VMEM (fused, never in
+HBM) and one narrow matmul against a dynamically sliced band of the
+histogram.  Scale must satisfy s >= TV / (TV + margin - 2) or the band is
+clipped (callers pick margin from the map's scale range; sweep scales are
+z0*(zi - Cz)/(zi*(z0 - Cz)) ~ 1).
+
+Grid: (N, K) with K innermost; the (1, Ho, Wo) output block stays resident
+in VMEM and accumulates across the K inner resamples (the reference's
+OpenMP-over-planes axis becomes the N grid dimension;
+mapper_emvs_stereo.cpp:166-172).
+
+Constraints (enforced/arranged by callers in voting_hist):
+  * ws and Wo multiples of 128 (lane width; pad and crop otherwise),
+  * dynamic input-band starts aligned: q_lo to 8 rows, p_lo to 128 lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(dim: int, target: int, mult: int) -> int:
+    """Largest tile <= target that is a multiple of `mult` (tiles overlap
+    the tail by recompute, so it need not divide dim)."""
+    t = min(dim, target)
+    t -= t % mult
+    return max(t, mult)
+
+
+def _kernel(sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
+            *, Ho, Wo, hs, ws, TV, TU, QV, QU, acc_dtype):
+    n = pl.program_id(0)
+    k = pl.program_id(1)
+    sy = sy_ref[n, k]
+    ty = ty_ref[n, k]
+    sx = sx_ref[n, k]
+    tx = tx_ref[n, k]
+    inv_sy = 1.0 / sy
+    inv_sx = 1.0 / sx
+
+    # --- y stage: resy[v, :] = sum_q hat(q*sy + ty - v) * hist[q, :] ------
+    n_vt = -(-Ho // TV)
+    for vt in range(n_vt):
+        v0 = min(vt * TV, Ho - TV)  # tail tile overlaps by recompute
+        q_lo_f = (v0 - ty) * inv_sy - 0.5 * (QV - TV * inv_sy)
+        q_lo = jnp.floor(q_lo_f).astype(jnp.int32)
+        q_lo = jnp.clip(q_lo - (q_lo % 8), 0, hs - QV)
+        qq = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 0).astype(
+            jnp.float32) + q_lo.astype(jnp.float32)
+        vv = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 1).astype(
+            jnp.float32) + float(v0)
+        taps = jnp.maximum(0.0, 1.0 - jnp.abs(qq * sy + ty - vv))
+        band = hist_ref[0, pl.ds(q_lo, QV), :]
+        resy[pl.ds(v0, TV), :] = jax.lax.dot_general(
+            taps.astype(acc_dtype), band.astype(acc_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # --- x stage: out[:, u] += sum_p hat(p*sx + tx - u) * resy[:, p] ------
+    for ut in range(Wo // TU):
+        u0 = ut * TU
+        p_lo_f = (u0 - tx) * inv_sx - 0.5 * (QU - 128 - TU * inv_sx)
+        p_lo = jnp.floor(p_lo_f).astype(jnp.int32)
+        p_lo = jnp.clip(p_lo - (p_lo % 128), 0, ws - QU)  # lane-aligned
+        pp = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 0).astype(
+            jnp.float32) + p_lo.astype(jnp.float32)
+        uu = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 1).astype(
+            jnp.float32) + float(u0)
+        taps = jnp.maximum(0.0, 1.0 - jnp.abs(pp * sx + tx - uu))
+        band = resy[:, pl.ds(p_lo, QU)]
+        xt = jax.lax.dot_general(
+            band.astype(acc_dtype), taps.astype(acc_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[0, :, pl.ds(u0, TU)] = xt
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[0, :, pl.ds(u0, TU)] += xt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "blocked", "tile_v", "tile_u",
+                     "scale_min", "interpret"),
+)
+def banded_resample_sum(
+    hist: jnp.ndarray,
+    sy: jnp.ndarray,
+    ty: jnp.ndarray,
+    sx: jnp.ndarray,
+    tx: jnp.ndarray,
+    *,
+    out_h: int,
+    out_w: int,
+    blocked: bool,
+    tile_v: int = 128,
+    tile_u: int = 128,
+    scale_min: float = 0.5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[n] = sum_k resample(hist[src(n, k)], affine map (sy..tx)[n, k]).
+
+    hist: (G, hs, ws); sy/ty/sx/tx: (N, K) f32 bin-coordinate maps
+    (forward convention: output position = input position * s + t).
+    blocked=False: src = k (K == G, every output sums all histograms —
+    the plane sweep).  blocked=True: src = n*K + k (G == N*K, disjoint
+    groups — the leaf merge).  Returns (N, out_h, out_w) float32.
+
+    `scale_min` is the caller's static lower bound on every map's scale; a
+    TV-row output tile reads a TV/scale_min (+slack) input band.  Maps with
+    scale below the bound get their band CLIPPED (silent vote loss) — the
+    voting callers bound geometric sweep scales by 2/3 (camera advancing
+    less than min_depth/3 within a chunk) over the supersample factor.
+
+    ws and out_w must be multiples of 128; use interpret=True off-TPU.
+    """
+    G, hs, ws = hist.shape
+    N, K = sy.shape
+    if ws % 128 or out_w % 128:
+        raise ValueError(f"ws ({ws}) and out_w ({out_w}) must be 128-multiples")
+    if blocked and G != N * K:
+        raise ValueError(f"blocked mode needs G == N*K, got {G} != {N}*{K}")
+    if not blocked and G != K:
+        raise ValueError(f"sweep mode needs G == K, got {G} != {K}")
+
+    TV = _pick_tile(out_h, tile_v, 8)
+    TU = _pick_tile(out_w, tile_u, 128)
+    qv = int(np.ceil(TV / scale_min)) + 24
+    QV = min(hs - hs % 8, qv + (-qv % 8))
+    qu = int(np.ceil(TU / scale_min)) + 24 + 128  # +128 lane-align slack
+    QU = min(ws, qu + (-qu % 8))
+    acc_dtype = hist.dtype if hist.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+
+    if blocked:
+        hist_map = lambda n, k, *refs: (n * K + k, 0, 0)
+    else:
+        hist_map = lambda n, k, *refs: (k, 0, 0)
+
+    kern = functools.partial(
+        _kernel, Ho=out_h, Wo=out_w, hs=hs, ws=ws,
+        TV=TV, TU=TU, QV=QV, QU=QU, acc_dtype=acc_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # sy, ty, sx, tx as full (N, K) SMEM arrays
+        grid=(N, K),
+        in_specs=[
+            pl.BlockSpec((1, hs, ws), hist_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, out_h, out_w),
+                               lambda n, k, *refs: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((out_h, ws), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, out_h, out_w), jnp.float32),
+        interpret=interpret,
+    )(sy.astype(jnp.float32), ty.astype(jnp.float32),
+      sx.astype(jnp.float32), tx.astype(jnp.float32), hist)

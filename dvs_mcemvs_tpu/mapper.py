@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops import extract, grid as gridops, pointcloud as pcops, se3, trajectory as trajmod, voting
+from .ops import camera as camops, extract, grid as gridops, pointcloud as pcops, se3, trajectory as trajmod, voting
 from .ops.camera import PinholeCamera, rectify_lut, virtual_camera
 from .ops.depth_vector import DepthVector, INVERSE, LINEAR
 from .ops.se3 import SE3
@@ -107,16 +107,18 @@ def make_mapper(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("z0", "width", "height", "vcam_params", "packet_size", "backend", "plane_block"),
+    static_argnames=("z0", "width", "height", "vcam_params", "packet_size",
+                     "backend", "plane_block", "rect_params"),
 )
 def _evaluate_dsi_jit(
     x, y, t, traj_ts, traj_q, traj_t, T_rv_w_q, T_rv_w_t, lut, K_cam, Kv_inv,
     depths, z0, width, height, vcam_params, packet_size, backend, plane_block,
+    rect_params=None,
 ):
     traj = trajmod.Trajectory(traj_ts, SE3(traj_q, traj_t))
     packets = voting.warp_events_to_z0(
         x, y, t, traj, SE3(T_rv_w_q, T_rv_w_t), lut, K_cam, Kv_inv,
-        z0=z0, width=width, packet_size=packet_size,
+        z0=z0, width=width, packet_size=packet_size, rect_params=rect_params,
     )
     fn = voting.resolve_backend(backend)
     return fn(packets, depths, z0, vcam_params, width, height, plane_block=plane_block)
@@ -130,11 +132,16 @@ def evaluate_dsi(
     packet_size: int = voting.DEFAULT_PACKET_SIZE,
     backend: str = "scatter",
     plane_block: int = 8,
+    rectify: str = "device",
 ) -> Optional[jnp.ndarray]:
     """Back-project a chunk of events into a fresh (Z, H, W) DSI.
 
     Returns None when the chunk is smaller than one packet, mirroring the
     reference's `evaluateDSI` false return (cpp:71-75).
+
+    `rectify` = "device" recomputes event rectification analytically on the
+    VPU (the TPU-fast path); "lut" gathers the precomputed host LUT (the
+    reference-parity path, src/mapper_emvs_stereo.cpp:129-142).
     """
     if events.num <= packet_size:
         return None
@@ -146,6 +153,7 @@ def evaluate_dsi(
     )
     K_cam = jnp.asarray(mapper.cam.P, jnp.float32)
     Kv_inv = jnp.asarray(np.linalg.inv(mapper.vcam.P), jnp.float32)
+    rect_params = camops.rect_static(mapper.cam) if rectify == "device" else None
     return _evaluate_dsi_jit(
         jnp.asarray(events.x, jnp.int32),
         jnp.asarray(events.y, jnp.int32),
@@ -154,6 +162,7 @@ def evaluate_dsi(
         T_rv_w.q, T_rv_w.t,
         jnp.asarray(mapper.lut), K_cam, Kv_inv, depths,
         z0, mapper.width, mapper.height, vp, packet_size, backend, plane_block,
+        rect_params,
     )
 
 

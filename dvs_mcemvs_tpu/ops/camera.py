@@ -186,6 +186,80 @@ def rectify_lut(cam: PinholeCamera) -> np.ndarray:
     return np.stack([u, v], axis=-1).reshape(H * W, 2).astype(np.float32)
 
 
+def rect_static(cam: PinholeCamera) -> Tuple:
+    """The camera's rectification math as a hashable static tuple, for the
+    on-device analytic rectification path (`rectify_events_device`).
+
+    TPUs pay dearly for the per-event random gather of a rectification LUT
+    but evaluate a few hundred elementwise flops per event for free, so the
+    TPU-native form of `precomputeRectifiedPoints`
+    (src/mapper_emvs_stereo.cpp:256-299) is to *recompute* the undistortion
+    per event on the VPU instead of looking it up.
+    """
+    model = cam.distortion_model if any(d != 0 for d in cam.D) else NONE
+    R = None if cam.R is None else tuple(float(v) for v in np.asarray(cam.R).ravel())
+    P = cam.P
+    return (
+        model,
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        tuple(float(d) for d in cam.D),
+        R,
+        (float(P[0, 0]), float(P[1, 1]), float(P[0, 2]), float(P[1, 2])),
+    )
+
+
+def rectify_events_device(x, y, rect_params: Tuple):
+    """Per-event analytic rectification on device (jnp), equivalent to the
+    LUT gather `lut[y*W + x]` for integer pixels.  x, y: int arrays; returns
+    (u, v) float32 rectified pixel coordinates under the shared P.
+
+    Same fixed-point/Newton schemes as the host LUT builders
+    (`_undistort_radtan` / `_undistort_fisheye`), in float32.
+    """
+    import jax.numpy as jnp
+
+    model, fx, fy, cx, cy, D, R, (pfx, pfy, pcx, pcy) = rect_params
+    xn = (x.astype(jnp.float32) - cx) / fx
+    yn = (y.astype(jnp.float32) - cy) / fy
+    if model == PLUMB_BOB:
+        k = list(D) + [0.0] * (8 - len(D))
+        k1, k2, p1, p2, k3 = k[0], k[1], k[2], k[3], k[4]
+        xu, yu = xn, yn
+        for _ in range(5):
+            r2 = xu * xu + yu * yu
+            icdist = 1.0 / (1.0 + ((k3 * r2 + k2) * r2 + k1) * r2)
+            dx = 2 * p1 * xu * yu + p2 * (r2 + 2 * xu * xu)
+            dy = p1 * (r2 + 2 * yu * yu) + 2 * p2 * xu * yu
+            xu = (xn - dx) * icdist
+            yu = (yn - dy) * icdist
+    elif model == FISHEYE:
+        k = list(D[:4]) + [0.0] * (4 - len(D[:4]))
+        theta_d = jnp.sqrt(xn * xn + yn * yn)
+        theta_d_c = jnp.clip(theta_d, -np.pi / 2, np.pi / 2)
+        theta = theta_d_c
+        for _ in range(10):
+            t2 = theta * theta
+            t4, t6, t8 = t2 * t2, t2 * t2 * t2, t2 * t2 * t2 * t2
+            num = theta * (1 + k[0] * t2 + k[1] * t4 + k[2] * t6 + k[3] * t8)
+            den = 1 + 3 * k[0] * t2 + 5 * k[1] * t4 + 7 * k[2] * t6 + 9 * k[3] * t8
+            theta = theta - (num - theta_d_c) / den
+        scale = jnp.where(theta_d > 1e-8,
+                          jnp.tan(theta) / jnp.maximum(theta_d, 1e-12), 1.0)
+        xu, yu = xn * scale, yn * scale
+    else:
+        xu, yu = xn, yn
+    if R is not None:
+        r = R
+        Xc = r[0] * xu + r[1] * yu + r[2]
+        Yc = r[3] * xu + r[4] * yu + r[5]
+        Zc = r[6] * xu + r[7] * yu + r[8]
+    else:
+        Xc, Yc, Zc = xu, yu, 1.0
+    u = pfx * Xc / Zc + pcx
+    v = pfy * Yc / Zc + pcy
+    return u, v
+
+
 def project_pixel_to_ray(cam: PinholeCamera, u, v):
     """Undistorted pixel -> unit-z bearing vector (geometry_utils.hpp:56-66)."""
     x = (np.asarray(u) - cam.cx) / cam.fx

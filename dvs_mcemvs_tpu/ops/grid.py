@@ -383,6 +383,12 @@ def min_max(dsi):
     return jnp.min(dsi), jnp.max(dsi)
 
 
+def mean_std(dsi):
+    """Grid mean and (population) standard deviation — computeMeanStd."""
+    m = jnp.mean(dsi)
+    return m, jnp.sqrt(jnp.mean((dsi - m) ** 2))
+
+
 # ---------------------------------------------------------------------------
 # 3D smoothing extras — the reference ships these but excludes them from its
 # build (cartesian3dgrid/src/cartesian3dgrid_filter.cpp, gaussianiir3d.cpp;
@@ -391,19 +397,55 @@ def min_max(dsi):
 # ---------------------------------------------------------------------------
 
 
-def diffuse(dsi, num_iters: int = 1, lam: float = 0.25):
-    """Heat-equation smoothing (filter.cpp:19-69): g += lam * laplacian3d(g)."""
+def laplacian3d(dsi):
+    """6-neighbor 3D Laplacian with homogeneous Neumann boundaries
+    (Grid3D::laplacianInPlace, filter.cpp:72-110: an out-of-range neighbor
+    is replaced by the center sample, i.e. edge-replicate padding)."""
+    out = -6.0 * dsi
+    pad = jnp.pad(dsi, 1, mode="edge")
+    out = out + pad[:-2, 1:-1, 1:-1] + pad[2:, 1:-1, 1:-1]
+    out = out + pad[1:-1, :-2, 1:-1] + pad[1:-1, 2:, 1:-1]
+    out = out + pad[1:-1, 1:-1, :-2] + pad[1:-1, 1:-1, 2:]
+    return out
 
-    def lap3(g):
-        out = -6.0 * g
-        for axis in range(3):
-            out = out + jnp.roll(g, 1, axis) + jnp.roll(g, -1, axis)
-        return out
+
+def diffuse(dsi, sigma: float):
+    """Heat-equation smoothing to Gaussian scale `sigma`
+    (Grid3D::smoothInPlace, filter.cpp:19-69): explicit Euler steps
+    g += dt * laplacian3d(g) with the reference's CFL step rule
+    dt = min(1/24, t_final/2), t_final = sigma^2/2, Neumann boundaries."""
+    dt_cfl = 1.0 / 12.0
+    t_final = 0.5 * sigma * sigma
+    dt = min(0.5 * dt_cfl, 0.5 * t_final)
+    steps = int(np.ceil(t_final / dt)) if t_final > 0 else 0
 
     def body(_, g):
-        return g + lam * lap3(g)
+        return g + dt * laplacian3d(g)
 
-    return jax.lax.fori_loop(0, num_iters, body, dsi)
+    return jax.lax.fori_loop(0, steps, body, dsi)
+
+
+def moran_index_gaussian_weights(dsi, sigma: float) -> jnp.ndarray:
+    """Moran's I spatial-autocorrelation index of the grid under a Gaussian
+    neighbor-weight kernel (Grid3D::computeMoranIndexGaussianWeights,
+    filter.cpp:113-199).
+
+    The grid is standardized, blurred at scale sigma, and the center tap's
+    own contribution removed; I = sum(z * (blur(z) - w0 z)) / ((1-w0)(N-1))
+    with w0 the blurred-delta central weight.  The reference blurs with a
+    3-step Alvarez-Mazorra IIR Gaussian; here an exact separable FIR
+    Gaussian of the same sigma is used (documented divergence)."""
+    sigma = max(float(sigma), 0.2)
+    m, sd = mean_std(dsi)
+    z = (dsi - m) / jnp.maximum(sd, 1e-30)
+    z_smooth = gaussian_blur_3d(z, sigma)
+    # Central weight of the 3D kernel = (center of the 1D kernel)^3.
+    k1 = gaussian_kernel_1d(gaussian_ksize_from_sigma(sigma), sigma)
+    w0 = float(k1[len(k1) // 2]) ** 3
+    n = dsi.size
+    numer = jnp.sum(z * (z_smooth - w0 * z))
+    denom = (1.0 - w0) * (n - 1.0)
+    return numer / (denom + 1e-6)
 
 
 def gaussian_blur_3d(dsi, sigma: float):

@@ -90,12 +90,16 @@ def warp_events_to_z0(
     packet_size: int = DEFAULT_PACKET_SIZE,
     ev_weight: Optional[jnp.ndarray] = None,
     full: bool = False,
+    rect_params: Optional[tuple] = None,
 ) -> WarpedPackets:
     """Steps 1-2: packet poses, homographies, event transfer to plane z0.
 
     x, y: (E,) raw integer pixel coords; t: (E,) float32 seconds; lut: the
     (H*W, 2) rectification LUT; K_cam: 3x3 rectified intrinsics of the real
     camera; Kinv_virtual: 3x3 inverse intrinsics of the virtual RV camera.
+    When `rect_params` (camera.rect_static) is given, rectification is
+    recomputed per event on the VPU instead of gathered from `lut` — the
+    TPU-fast path (`lut` may be None then).
 
     Divergence from the reference, by design: when a packet's pose lookup
     fails the reference shifts the packet window by one event and retries
@@ -126,18 +130,52 @@ def warp_events_to_z0(
     H_inv = z0 * R
     H_inv = H_inv.at[:, :, 2].add(tt)
     H_inv_px = jnp.einsum("ij,kjl,lm->kim", K_cam, H_inv, Kinv_virtual)
-    H_px = jnp.linalg.inv(H_inv_px)                # (K, 3, 3)
+    H_px = _inv3x3(H_inv_px)                       # (K, 3, 3)
 
-    # Rectified event locations via the LUT, then the per-packet homography
-    # (Eq. (11), cpp:129-142).
-    rect = lut[yk * width + xk]                    # (K, P, 2)
-    u, v = rect[..., 0], rect[..., 1]
+    # Rectified event locations (LUT gather or analytic), then the
+    # per-packet homography (Eq. (11), cpp:129-142).
+    if rect_params is not None:
+        from .camera import rectify_events_device
+
+        u, v = rectify_events_device(xk, yk, rect_params)
+    else:
+        rect = lut[yk * width + xk]                # (K, P, 2)
+        u, v = rect[..., 0], rect[..., 1]
     hx = H_px[:, None, 0, 0] * u + H_px[:, None, 0, 1] * v + H_px[:, None, 0, 2]
     hy = H_px[:, None, 1, 0] * u + H_px[:, None, 1, 1] * v + H_px[:, None, 1, 2]
     hz = H_px[:, None, 2, 0] * u + H_px[:, None, 2, 1] * v + H_px[:, None, 2, 2]
     xy_z0 = jnp.stack([hx / hz, hy / hz], axis=-1)
     w = None if ev_weight is None else ev_weight[:n].reshape(K, packet_size)
     return WarpedPackets(xy_z0.astype(jnp.float32), centers, valid, w)
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / determinant).
+
+    Pure elementwise math — much faster on TPU than the LAPACK-style
+    `jnp.linalg.inv` lowering for large batches of tiny matrices.  The
+    homographies it inverts are well-conditioned (near-identity pixel maps).
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = (1.0 / det)[..., None, None]
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], axis=-1),
+        jnp.stack([A10, A11, A12], axis=-1),
+        jnp.stack([A20, A21, A22], axis=-1),
+    ], axis=-2)
+    return adj * inv_det
 
 
 def eq15_coefficients(centers: jnp.ndarray, depths: jnp.ndarray, z0: float,
@@ -351,10 +389,12 @@ def resolve_backend(spec: str):
 
     kw = {}
     for tok in args.split(","):
-        if tok.startswith("g"):
-            kw["group_size"] = int(tok[1:])
+        if tok.startswith("seg"):
+            kw["segments"] = int(tok[3:])
         elif tok.startswith("ss"):
             kw["supersample"] = int(tok[2:])
+        elif tok.startswith("g"):
+            kw["group_size"] = int(tok[1:])
         elif tok.startswith("px"):
             kw["pad_x"] = int(tok[2:])
         elif tok.startswith("py"):
@@ -363,6 +403,10 @@ def resolve_backend(spec: str):
             kw["correct"] = False
         elif tok == "f32":
             kw["dtype"] = jnp.float32
+        elif tok == "i8":
+            kw["bin_dtype"] = jnp.int8
+        elif tok == "pl":
+            kw["engine"] = "pallas"
         else:
             raise ValueError(f"unknown hist option {tok!r} in {spec!r}")
     return voting_hist.make_hist_backend(**kw)

@@ -157,18 +157,154 @@ def build_group_histograms(
     rows = jnp.arange(hs, dtype=jnp.float32)
     cols = jnp.arange(ws, dtype=jnp.float32)
 
+    int8 = dtype == jnp.int8
+
     def one_group(args):
         hxg, hyg, wg = args
         ay = jnp.maximum(0.0, 1.0 - jnp.abs(hyg[:, None] - rows[None, :]))
         ax = jnp.maximum(0.0, 1.0 - jnp.abs(hxg[:, None] - cols[None, :]))
-        ay = (ay * wg[:, None]).astype(dtype)
+        ay = ay * wg[:, None]
+        if int8:
+            # Quantized binning on the int8 MXU path: bilinear taps in
+            # 1/127 steps, exact int32 accumulation (max bin sum
+            # E*127^2 < 2^31), one rescale at the end.
+            ayq = jnp.round(ay * 127.0).astype(jnp.int8)
+            axq = jnp.round(ax * 127.0).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                ayq, axq,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
         return jax.lax.dot_general(
-            ay, ax.astype(dtype),
+            ay.astype(dtype), ax.astype(dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     hist = jax.lax.map(one_group, (hx, hy, w))
     return hist, centers
+
+
+def _sweep_scale_trans(centers, u, z0, fx, fy, cx, cy):
+    """Eq. (15) as scale/translation in inverse depth u = 1/zi.
+
+    X' = s(u) * X + tx(u) (y alike) with s = z0*(1 - Cz*u)/(z0 - Cz),
+    tx = (z0*u - 1) * (Cx*fx + Cz*cx)/(z0 - Cz).  centers (N, 3), u (M,).
+    Returns s, tx, ty each (N, M).
+    """
+    C = centers
+    den = (z0 - C[:, 2])[:, None]               # (N, 1)
+    s = z0 * (1.0 - C[:, 2:3] * u[None, :]) / den
+    kx = (C[:, 0] * fx + C[:, 2] * cx)[:, None]
+    ky = (C[:, 1] * fy + C[:, 2] * cy)[:, None]
+    t_common = (z0 * u[None, :] - 1.0) / den
+    return s, kx * t_common, ky * t_common
+
+
+def _resample_hist_affine(hist, s_y, t_y, s_x, t_x, dtype=jnp.bfloat16):
+    """Push-forward resample of histograms under per-item separable affine
+    maps in BIN coordinates: mass at bin (q, p) splats bilinearly to
+    (q*s_y + t_y, p*s_x + t_x).  hist (N, hs, ws); s/t scalars per item.
+    Mass-conserving for maps that stay inside the grid (same convention as
+    the sweep's banded resample matrices in `splat_hist`)."""
+    N, hs, ws = hist.shape
+    qrow = jnp.arange(hs, dtype=jnp.float32)
+    prow = jnp.arange(ws, dtype=jnp.float32)
+
+    def one(args):
+        h, sy, ty, sx, tx = args
+        ry = jnp.maximum(0.0, 1.0 - jnp.abs(
+            (qrow[:, None] * sy + ty) - qrow[None, :]))   # (q, q')
+        cxm = jnp.maximum(0.0, 1.0 - jnp.abs(
+            (prow[:, None] * sx + tx) - prow[None, :]))   # (p, p')
+        tmp = jax.lax.dot_general(                        # (q', ws)
+            ry.astype(dtype), h.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(                       # (q', p')
+            tmp.astype(dtype), cxm.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return jax.lax.map(one, (hist, s_y, t_y, s_x, t_x))
+
+
+def merge_leaf_histograms(
+    hist: jnp.ndarray,
+    centers: jnp.ndarray,
+    merge: int,
+    u_mid,
+    z0: float,
+    vcam_params,
+    pad_x: int,
+    pad_y: int,
+    ss: int,
+    dtype=jnp.bfloat16,
+    engine: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge groups of `merge` leaf histograms into supergroup histograms.
+
+    Each leaf is resampled from its own sweep frame into the supergroup
+    center's frame so that at u = u_mid the supergroup map exactly
+    reproduces the leaf map (first-order-in-u accurate across a segment —
+    the histogram-level analog of `_sweep_correction`).  Returns
+    (hist_super (G/merge, hs, ws), centers_super (G/merge, 3)).
+    """
+    fx, fy, cx, cy = vcam_params
+    G = hist.shape[0]
+    P = -(-G // merge)
+    pad_g = P * merge - G
+    if pad_g:
+        hist = jnp.pad(hist, ((0, pad_g), (0, 0), (0, 0)))
+        centers = jnp.concatenate(
+            [centers, jnp.broadcast_to(centers[-1:], (pad_g, 3))])
+    centers_super = jnp.mean(centers.reshape(P, merge, 3), axis=1)
+
+    u = jnp.atleast_1d(jnp.asarray(u_mid, jnp.float32))
+    s_l, tx_l, ty_l = _sweep_scale_trans(centers, u, z0, fx, fy, cx, cy)
+    sup_rep = jnp.repeat(centers_super, merge, axis=0)
+    s_p, tx_p, ty_p = _sweep_scale_trans(sup_rep, u, z0, fx, fy, cx, cy)
+    # m = sweep_p(u_mid)^-1 o sweep_l(u_mid) in z0-plane coords, converted
+    # to bin coords h = (X + pad) * ss.
+    m_s = (s_l / s_p)[:, 0]
+    m_tx = ((tx_l - tx_p) / s_p)[:, 0]
+    m_ty = ((ty_l - ty_p) / s_p)[:, 0]
+    bt_x = ss * (m_tx + pad_x * (1.0 - m_s))
+    bt_y = ss * (m_ty + pad_y * (1.0 - m_s))
+    if engine == "pallas":
+        from ..kernels.resample_pallas import banded_resample_sum
+
+        hs_, ws_ = hist.shape[1], hist.shape[2]
+        out = banded_resample_sum(
+            hist, m_s.reshape(P, merge), bt_y.reshape(P, merge),
+            m_s.reshape(P, merge), bt_x.reshape(P, merge),
+            out_h=hs_, out_w=ws_, blocked=True, scale_min=0.8,
+            interpret=_pallas_interpret())
+        return out, centers_super
+    res = _resample_hist_affine(hist, m_s, bt_y, m_s, bt_x, dtype=dtype)
+    return jnp.sum(res.reshape(P, merge, *res.shape[1:]), axis=1), centers_super
+
+
+def _pallas_interpret() -> bool:
+    """Run the Pallas kernels in interpreter mode off-TPU (tests on CPU)."""
+    return jax.default_backend() != "tpu"
+
+
+def segment_bounds_equal_u(depths: np.ndarray, segments: int) -> Tuple[int, ...]:
+    """Plane-index boundaries splitting the sweep into `segments` chunks of
+    approximately equal inverse-depth span.  Host-side (static) helper for
+    the `segments` mode; returns a (segments+1)-tuple of indices."""
+    d = np.asarray(depths, np.float64)
+    u = 1.0 / d
+    lo, hi = min(u[0], u[-1]), max(u[0], u[-1])
+    edges = np.linspace(lo, hi, segments + 1)
+    # Position of each plane's u in the edge grid, made monotone.
+    idx = [0]
+    for k in range(1, segments):
+        pos = int(np.searchsorted(np.sort(u), edges[k]))
+        pos = len(u) - pos if u[0] > u[-1] else pos
+        idx.append(int(np.clip(pos, idx[-1] + 1, len(u) - (segments - k))))
+    idx.append(len(u))
+    return tuple(idx)
 
 
 def _affine_coeffs(centers, depths, z0, fx, fy, cx, cy, pad_x, pad_y, ss):
@@ -205,6 +341,10 @@ def splat_hist(
     pad_y: int = 32,
     dtype=jnp.bfloat16,
     correct: bool = True,
+    segments: int = 1,
+    seg_bounds: Optional[Tuple[int, ...]] = None,
+    bin_dtype=None,
+    engine: str = "xla",
 ) -> jnp.ndarray:
     """Vote all packets into a (Z, H, W) DSI by histogram + affine resample.
 
@@ -214,23 +354,85 @@ def splat_hist(
     reaches ~f*baseline/min_depth pixels); `supersample` refines the bin
     grid to tighten the effective splat kernel; `dtype` is the matmul input
     precision (f32 accumulation either way).
+
+    `segments` > 1 splits the inverse-depth sweep into that many chunks
+    (boundaries `seg_bounds`, a static index tuple — equal plane counts if
+    None; use `segment_bounds_equal_u` for equal-u chunks).  Within a chunk
+    the map varies `segments`x less, so `segments`x more packets can share a
+    camera center at the same accuracy: leaf histograms at `group_size` are
+    merged into supergroups of `segments` leaves per chunk
+    (`merge_leaf_histograms`), cutting the per-plane resample work from
+    G x Z to ~G x Z / segments + G x segments merges.  This is a flat
+    two-level version of the fast-slant-stack butterfly.
     """
     fx, fy, cx, cy = vcam_params
     ss = supersample
     hs = (height + 2 * pad_y) * ss
     ws = (width + 2 * pad_x) * ss
+    if engine == "pallas":
+        # Lane/sublane alignment for the banded kernel: extend the grid at
+        # the right/bottom edge only (extra bins are simply never mapped).
+        ws += -ws % 128
+        hs += -hs % 8
     Z = depths.shape[0]
 
     u_all = 1.0 / jnp.asarray(depths)
     u_mid = 0.5 * (jnp.min(u_all) + jnp.max(u_all))
     corr = (z0, fx, fy, cx, cy, u_mid) if correct else None
     hist, centers = build_group_histograms(
-        packets, group_size, hs, ws, pad_x, pad_y, ss, dtype=dtype,
+        packets, group_size, hs, ws, pad_x, pad_y, ss,
+        dtype=bin_dtype if bin_dtype is not None else dtype,
         correction=corr)
     hist = hist.astype(dtype)
-    G = hist.shape[0]
+
+    if segments > 1:
+        if seg_bounds is None:
+            bounds = [round(s * Z / segments) for s in range(segments + 1)]
+        else:
+            bounds = list(seg_bounds)
+        parts = []
+        for s in range(segments):
+            i0, i1 = bounds[s], bounds[s + 1]
+            if i0 >= i1:
+                continue
+            dseg = depths[i0:i1]
+            useg = 1.0 / dseg
+            u_mid_s = 0.5 * (jnp.min(useg) + jnp.max(useg))
+            hist_s, centers_s = merge_leaf_histograms(
+                hist, centers, segments, u_mid_s, z0, vcam_params,
+                pad_x, pad_y, ss, dtype=dtype, engine=engine)
+            parts.append(_sweep_planes(
+                hist_s.astype(dtype), centers_s, dseg, z0, vcam_params,
+                width, height, pad_x, pad_y, ss,
+                min(plane_block, i1 - i0), dtype, engine))
+        return jnp.concatenate(parts, axis=0)
+
+    return _sweep_planes(hist, centers, depths, z0, vcam_params, width,
+                         height, pad_x, pad_y, ss, plane_block, dtype, engine)
+
+
+def _sweep_planes(hist, centers, depths, z0, vcam_params, width, height,
+                  pad_x, pad_y, ss, plane_block, dtype, engine="xla"):
+    """Per-plane banded affine resample + sum over groups (steps 3 of the
+    module docstring): DSI[zi] = sum_g Ry_g^T @ hist_g @ Cx_g."""
+    fx, fy, cx, cy = vcam_params
+    Z = depths.shape[0]
+    G, hs, ws = hist.shape
     sx, tx, sy, ty = _affine_coeffs(
         centers, depths, z0, fx, fy, cx, cy, pad_x, pad_y, ss)
+
+    if engine == "pallas":
+        from ..kernels.resample_pallas import banded_resample_sum
+
+        w_pad = width + (-width % 128)
+        # Sweep scale = (a/d)/ss with a/d >= 2/3 for any camera advancing
+        # less than min_depth/3 within a chunk (see kernel docstring).
+        out = banded_resample_sum(
+            hist, sy.T, ty.T, sx.T, tx.T,
+            out_h=height, out_w=w_pad, blocked=False,
+            tile_v=128 // ss, scale_min=(2.0 / 3.0) / ss,
+            interpret=_pallas_interpret())
+        return out[:, :, :width]
 
     nblocks = -(-Z // plane_block)
     padz = nblocks * plane_block - Z
@@ -304,8 +506,13 @@ def auto_group_size(
 
 def make_hist_backend(group_size: int = 32, supersample: int = 1,
                       pad_x: int = 128, pad_y: int = 32,
-                      dtype=jnp.bfloat16, correct: bool = True):
+                      dtype=jnp.bfloat16, correct: bool = True,
+                      segments: int = 1,
+                      seg_bounds: Optional[Tuple[int, ...]] = None,
+                      bin_dtype=None, engine: str = "xla"):
     """A SPLAT_BACKENDS-compatible callable with fixed histogram knobs."""
     return functools.partial(
         splat_hist, group_size=group_size, supersample=supersample,
-        pad_x=pad_x, pad_y=pad_y, dtype=dtype, correct=correct)
+        pad_x=pad_x, pad_y=pad_y, dtype=dtype, correct=correct,
+        segments=segments, seg_bounds=seg_bounds, bin_dtype=bin_dtype,
+        engine=engine)

@@ -149,3 +149,41 @@ def test_focus_collapse_variants_run():
 def test_mean_square():
     dsi = jnp.asarray([[[1.0, 2.0], [3.0, 4.0]]], jnp.float32)
     assert float(g.mean_square(dsi)) == pytest.approx((1 + 4 + 9 + 16) / 4.0)
+
+
+def test_laplacian3d_neumann_boundaries():
+    # Constant grid -> zero Laplacian everywhere (incl. borders, thanks to
+    # the edge-replicate Neumann convention of filter.cpp:85-90).
+    dsi = jnp.full((4, 5, 6), 3.25, jnp.float32)
+    np.testing.assert_allclose(np.asarray(g.laplacian3d(dsi)), 0.0, atol=1e-6)
+    # Interior voxel: plain 6-neighbor stencil.
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, size=(5, 5, 5)).astype(np.float32)
+    lap = np.asarray(g.laplacian3d(jnp.asarray(a)))
+    want = (a[1, 2, 2] + a[3, 2, 2] + a[2, 1, 2] + a[2, 3, 2]
+            + a[2, 2, 1] + a[2, 2, 3] - 6 * a[2, 2, 2])
+    assert lap[2, 2, 2] == pytest.approx(want, abs=1e-5)
+
+
+def test_diffuse_preserves_mass_and_smooths():
+    rng = np.random.default_rng(4)
+    a = rng.uniform(0, 1, size=(6, 8, 8)).astype(np.float32)
+    out = np.asarray(g.diffuse(jnp.asarray(a), sigma=0.8))
+    # Neumann heat flow conserves total mass and shrinks variance.
+    assert out.sum() == pytest.approx(a.sum(), rel=1e-4)
+    assert out.var() < a.var()
+
+
+def test_mean_std_and_moran_index():
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 2, size=(8, 10, 12)).astype(np.float32)
+    m, sd = g.mean_std(jnp.asarray(a))
+    assert float(m) == pytest.approx(a.mean(), abs=1e-5)
+    assert float(sd) == pytest.approx(a.std(), rel=1e-4)
+    # i.i.d. noise has ~zero spatial autocorrelation; a smoothed field is
+    # strongly positively autocorrelated.
+    i_noise = float(g.moran_index_gaussian_weights(jnp.asarray(a), 0.8))
+    smooth = np.asarray(g.gaussian_blur_3d(jnp.asarray(a), 1.5))
+    i_smooth = float(g.moran_index_gaussian_weights(jnp.asarray(smooth), 0.8))
+    assert abs(i_noise) < 0.1
+    assert i_smooth > 0.5

@@ -1,0 +1,125 @@
+"""Banded Pallas resample kernel vs the dense banded-matmul reference.
+
+Runs in interpreter mode on CPU (the kernel auto-selects interpret off-TPU
+via voting_hist._pallas_interpret; here we pass interpret=True explicitly).
+Tolerances allow for the interpreter's MXU-precision emulation (~1e-3
+relative, same as the bf16 the production path uses anyway).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from dvs_mcemvs_tpu.kernels.resample_pallas import banded_resample_sum
+
+
+def _ref_resample(h, sy, ty, sx, tx, Ho, Wo):
+    hs, ws = h.shape
+    q = np.arange(hs)
+    p = np.arange(ws)
+    v = np.arange(Ho)
+    u = np.arange(Wo)
+    Ry = np.maximum(0, 1 - np.abs((q[:, None] * sy + ty) - v[None, :]))
+    Cx = np.maximum(0, 1 - np.abs((p[:, None] * sx + tx) - u[None, :]))
+    return Ry.T @ h @ Cx
+
+
+@pytest.mark.parametrize("scale,tyv,txv,scale_min", [
+    (1.0, 0.0, 0.0, 0.8),      # identity
+    (0.5, -32.0, -128.0, 0.45),  # supersampled sweep regime
+    (1.1, 5.0, 10.0, 0.8),     # mild zoom
+])
+def test_sweep_mode_matches_dense(scale, tyv, txv, scale_min):
+    rng = np.random.default_rng(1)
+    G, hs, ws = 4, 224, 640
+    Ho, Wo = 48, 128
+    N = 3
+    hist = rng.uniform(0, 1, (G, hs, ws)).astype(np.float32)
+    sy = scale + rng.uniform(-0.02, 0.02, (N, G)).astype(np.float32)
+    ty = tyv + rng.uniform(-2, 2, (N, G)).astype(np.float32)
+    sx = scale + rng.uniform(-0.02, 0.02, (N, G)).astype(np.float32)
+    tx = txv + rng.uniform(-2, 2, (N, G)).astype(np.float32)
+    out = np.asarray(banded_resample_sum(
+        jnp.asarray(hist), jnp.asarray(sy), jnp.asarray(ty),
+        jnp.asarray(sx), jnp.asarray(tx), out_h=Ho, out_w=Wo,
+        blocked=False, scale_min=scale_min, interpret=True))
+    want = np.zeros((N, Ho, Wo), np.float32)
+    for n in range(N):
+        for g in range(G):
+            want[n] += _ref_resample(hist[g], sy[n, g], ty[n, g],
+                                     sx[n, g], tx[n, g], Ho, Wo)
+    assert np.abs(out - want).max() / want.max() < 5e-3
+
+
+def test_blocked_mode_matches_dense():
+    rng = np.random.default_rng(2)
+    N, K = 3, 2
+    hs, ws = 64, 256
+    hist = rng.uniform(0, 1, (N * K, hs, ws)).astype(np.float32)
+    sy = 1.0 + rng.uniform(-0.05, 0.05, (N, K)).astype(np.float32)
+    ty = rng.uniform(-3, 3, (N, K)).astype(np.float32)
+    sx = 1.0 + rng.uniform(-0.05, 0.05, (N, K)).astype(np.float32)
+    tx = rng.uniform(-3, 3, (N, K)).astype(np.float32)
+    out = np.asarray(banded_resample_sum(
+        jnp.asarray(hist), jnp.asarray(sy), jnp.asarray(ty),
+        jnp.asarray(sx), jnp.asarray(tx), out_h=hs, out_w=ws,
+        blocked=True, scale_min=0.8, interpret=True))
+    want = np.zeros((N, hs, ws), np.float32)
+    for n in range(N):
+        for k in range(K):
+            want[n] += _ref_resample(hist[n * K + k], sy[n, k], ty[n, k],
+                                     sx[n, k], tx[n, k], hs, ws)
+    assert np.abs(out - want).max() / want.max() < 5e-3
+
+
+def test_mass_conservation_interior():
+    """Push-forward resample conserves total mass when the mapped support
+    stays inside the grid."""
+    rng = np.random.default_rng(3)
+    hs, ws = 64, 256
+    hist = np.zeros((1, hs, ws), np.float32)
+    hist[0, 16:48, 64:192] = rng.uniform(0, 1, (32, 128)).astype(np.float32)
+    out = np.asarray(banded_resample_sum(
+        jnp.asarray(hist),
+        jnp.full((1, 1), 0.9, jnp.float32), jnp.full((1, 1), 4.0, jnp.float32),
+        jnp.full((1, 1), 1.05, jnp.float32), jnp.full((1, 1), -8.0, jnp.float32),
+        out_h=hs, out_w=ws, blocked=False, scale_min=0.8, interpret=True))
+    assert out.sum() == pytest.approx(hist.sum(), rel=2e-3)
+
+
+def test_shape_validation():
+    hist = jnp.zeros((2, 64, 256), jnp.float32)
+    m = jnp.ones((1, 2), jnp.float32)
+    with pytest.raises(ValueError, match="128-multiples"):
+        banded_resample_sum(hist, m, m, m, m, out_h=64, out_w=100,
+                            blocked=False, interpret=True)
+    m2 = jnp.ones((2, 2), jnp.float32)  # N*K = 4 != G = 2
+    with pytest.raises(ValueError, match="blocked mode"):
+        banded_resample_sum(hist, m2, m2, m2, m2, out_h=64, out_w=256,
+                            blocked=True, interpret=True)
+
+
+def test_end_to_end_pallas_engine_matches_xla():
+    """splat_hist(engine='pallas') == splat_hist(engine='xla') bit-close,
+    segmented and unsegmented."""
+    from dvs_mcemvs_tpu import mapper as mappermod, pipeline
+    from dvs_mcemvs_tpu.mapper import DsiShape, make_mapper
+    from dvs_mcemvs_tpu.ops import trajectory as trajmod
+    from dvs_mcemvs_tpu.utils import synthetic
+
+    rig = synthetic.esim_like_rig()
+    rng = np.random.default_rng(0)
+    pts = synthetic.make_scene(rig, rng, 500)
+    ev = synthetic.simulate_events(rig, pts, 0, n_samples=10, rng=rng)
+    m = make_mapper(rig.cam, DsiShape(dim_z=16, min_depth=1.0, max_depth=4.0))
+    ts, q, p = synthetic.rig_poses(rig)
+    traj = trajmod.from_arrays(ts, q, p)
+    T_rv_w = pipeline.place_reference_view(traj, 0.5)
+    for spec in ("hist:g4,ss2", "hist:g4,ss2,seg4"):
+        a = np.asarray(mappermod.evaluate_dsi(
+            m, ev, traj, T_rv_w, packet_size=512, backend=spec))
+        b = np.asarray(mappermod.evaluate_dsi(
+            m, ev, traj, T_rv_w, packet_size=512, backend=spec + ",pl"))
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+        assert abs(b.sum() / a.sum() - 1) < 1e-3

@@ -100,3 +100,73 @@ def test_resolve_backend_specs():
         voting.resolve_backend("hist:bogus")
     with pytest.raises(ValueError):
         voting.resolve_backend("scatter:g8")
+
+
+def test_hist_segmented_close_to_unsegmented(setup):
+    """Segmented sweep (leaf-merge) stays structurally close to the exact
+    splat; int8 binning is accuracy-neutral.
+
+    With per-packet (g1) leaves the segment-level merge correction is MORE
+    accurate than the unsegmented event-level correction at the same group
+    size (error zeroed at each segment's u-mid instead of globally)."""
+    m, ev, traj, T_rv_w, ref = setup
+    seg = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g1,ss2,seg4"))
+    corr = np.corrcoef(ref.ravel(), seg.ravel())[0, 1]
+    assert corr > 0.98
+    assert abs(seg.sum() / max(ref.sum(), 1) - 1) < 0.05
+    assert _argmax_agreement(ref, seg) > 0.85
+
+    # Grouped leaves + segments: same leaf size as the unsegmented baseline
+    # stays structurally close to it (extra merge blur only).
+    base = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g4,ss2"))
+    seg4 = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g4,ss2,seg4"))
+    assert np.corrcoef(base.ravel(), seg4.ravel())[0, 1] > 0.97
+    assert _argmax_agreement(base, seg4) > 0.75
+
+    i8 = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g4,ss2,seg4,i8"))
+    corr_i8 = np.corrcoef(seg4.ravel(), i8.ravel())[0, 1]
+    assert corr_i8 > 0.999
+
+
+def test_segment_bounds_equal_u():
+    from dvs_mcemvs_tpu.ops.voting_hist import segment_bounds_equal_u
+
+    # Inverse-depth (uniform u) sampling -> equal index chunks.
+    u = np.linspace(1 / 40.0, 1 / 2.0, 16)
+    b = segment_bounds_equal_u(1.0 / u, 4)
+    assert b[0] == 0 and b[-1] == 16
+    assert list(b) == sorted(b)
+    sizes = np.diff(b)
+    assert sizes.min() >= 1
+    # Linear-depth sampling -> near planes (large u span) get fewer planes
+    # per segment than far planes.
+    d = np.linspace(2.0, 40.0, 32)
+    b2 = segment_bounds_equal_u(d, 4)
+    assert b2[0] == 0 and b2[-1] == 32
+    assert np.diff(b2).min() >= 1
+
+
+def test_resolve_backend_seg_i8():
+    import jax.numpy as jnp
+
+    fn = voting.resolve_backend("hist:g8,seg8,i8")
+    assert fn.keywords["group_size"] == 8
+    assert fn.keywords["segments"] == 8
+    assert fn.keywords["bin_dtype"] == jnp.int8
+
+
+def test_device_rectify_warp_matches_lut_warp(setup):
+    """The analytic warp path reproduces the LUT warp end-to-end."""
+    m, ev, traj, T_rv_w, ref = setup
+    dev = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="scatter",
+        rectify="device"))
+    lut = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="scatter",
+        rectify="lut"))
+    corr = np.corrcoef(dev.ravel(), lut.ravel())[0, 1]
+    assert corr > 0.9999

@@ -142,6 +142,15 @@ def run(cfg: RunConfig) -> int:
         g = auto_group_size(chunk_travel, n_pk, float(mappers[0].vcam.fx),
                             cfg.min_depth, cfg.max_depth)
         backend = f"hist:g{g},ss2"
+        # Segment the inverse-depth sweep when there are enough planes to
+        # amortize the leaf merges; use the Pallas banded kernels on TPU.
+        segs = min(16, cfg.dimZ // 10)
+        if segs >= 2:
+            backend += f",seg{segs}"
+        import jax
+
+        if jax.default_backend() == "tpu":
+            backend += ",pl"
         log.info("auto backend: %s (chunk travel %.3f m, %d packets)",
                  backend, chunk_travel, n_pk)
     vopts = pipeline.VotingOptions(packet_size=cfg.packet_size, backend=backend,
@@ -165,8 +174,15 @@ def run(cfg: RunConfig) -> int:
                                       rv_pos=cfg.rv_pos, vopts=vopts)
         raise ValueError(f"process_method must be 1, 2 or 5, got {cfg.process_method}")
 
+    flag_text = config_to_flagfile(cfg)
     with open(os.path.join(cfg.out_path, "run_flags.conf"), "w") as f:
-        f.write(config_to_flagfile(cfg))
+        f.write(flag_text)
+
+    if cfg.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(cfg.profile_dir)
+        log.info("jax profiler tracing to %s", cfg.profile_dir)
 
     if cfg.full_seq:
         fopts = pipeline.FullSeqOptions(
@@ -188,17 +204,32 @@ def run(cfg: RunConfig) -> int:
                 log.info("full_seq: native event store + prefetch enabled")
             except Exception as e:  # no toolchain: keep the numpy path
                 log.warning("native event store unavailable (%s)", e)
+        from .checkpoint import RunCheckpoint, config_fingerprint
+
+        ckpt = RunCheckpoint(
+            os.path.join(cfg.out_path, "checkpoint.json"),
+            fingerprint=config_fingerprint(flag_text),
+            enabled=cfg.checkpoint)
         n_chunks = 0
         for k, ts, res in runner:
+            if ckpt.is_done(k):
+                log.info("chunk %d @ ts=%.3f already complete; skipped", k, ts)
+                continue
             prefix = outputs.timestamp_prefix(cfg.out_path, ts)
             _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix, opts)
             if cfg.save_dsi:
                 outputs.write_dsi_npy(prefix + "dsi_fused.npy",
                                       np.asarray(res.fused_dsi))
+            ckpt.mark_done(k, ts)
             n_chunks += 1
             log.info("chunk %d @ ts=%.3f done (%.1f Mev/s)", k, ts,
                      res.mev_per_s or 0.0)
-        log.info("full_seq: %d chunks written", n_chunks)
+        log.info("full_seq: %d chunks written (%d total complete)",
+                 n_chunks, ckpt.num_done or n_chunks)
+        if cfg.profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
         return 0
 
     # Single-shot path (main.cpp:303-433).

@@ -96,6 +96,8 @@ class RunConfig:
     collapse_method: int = -1             # -1 argmax; 0-4 focus measures
     num_devices: int = 0                  # 0 = all visible devices
     save_pointcloud: bool = True
+    checkpoint: bool = True               # full_seq chunk ledger + resume
+    profile_dir: str = ""                 # jax.profiler trace output dir
 
     def resolved_ts(self) -> float:
         if self.ts is not None:

@@ -64,7 +64,9 @@ def _kernel(sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
         v0 = min(vt * TV, Ho - TV)  # tail tile overlaps by recompute
         q_lo_f = (v0 - ty) * inv_sy - 0.5 * (QV - TV * inv_sy)
         q_lo = jnp.floor(q_lo_f).astype(jnp.int32)
-        q_lo = jnp.clip(q_lo - (q_lo % 8), 0, hs - QV)
+        # Clip BEFORE aligning: Mosaic must be able to prove the dynamic
+        # start is 8-aligned, so the floordiv-mul must be the last op.
+        q_lo = (jnp.clip(q_lo, 0, hs - QV) // 8) * 8
         qq = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 0).astype(
             jnp.float32) + q_lo.astype(jnp.float32)
         vv = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 1).astype(
@@ -81,7 +83,7 @@ def _kernel(sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
         u0 = ut * TU
         p_lo_f = (u0 - tx) * inv_sx - 0.5 * (QU - 128 - TU * inv_sx)
         p_lo = jnp.floor(p_lo_f).astype(jnp.int32)
-        p_lo = jnp.clip(p_lo - (p_lo % 128), 0, ws - QU)  # lane-aligned
+        p_lo = (jnp.clip(p_lo, 0, ws - QU) // 128) * 128  # provably aligned
         pp = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 0).astype(
             jnp.float32) + p_lo.astype(jnp.float32)
         uu = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 1).astype(

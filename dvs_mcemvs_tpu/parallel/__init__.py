@@ -1,6 +1,6 @@
 """Multi-chip distribution: device meshes, sharded voting, collective fusion."""
 
-from .mesh import make_mesh, pick_mesh_shape  # noqa: F401
+from .mesh import global_mesh, init_distributed, make_mesh, pick_mesh_shape  # noqa: F401
 from .sharded import (  # noqa: F401
     ShardedRigSpec,
     ShardedStepConfig,

@@ -59,3 +59,38 @@ def make_mesh(
         raise ValueError(f"need {need} devices, have {len(devices)}")
     arr = np.asarray(devices[:need]).reshape(n_event, n_plane)
     return Mesh(arr, (EVENT_AXIS, PLANE_AXIS))
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize multi-host JAX (the reference has no multi-node layer at
+    all — SURVEY.md §2 parallelism inventory; this replaces it with
+    `jax.distributed` + XLA collectives over ICI/DCN).
+
+    All arguments default to cluster auto-detection (GKE/Cloud TPU
+    environments).  Safe to call twice.  Returns (process_index,
+    process_count).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+    return jax.process_index(), jax.process_count()
+
+
+def global_mesh(dim_z: int, max_plane_shards: int = 8) -> Mesh:
+    """("event", "plane") mesh over ALL devices of a (possibly multi-host)
+    run: plane shards stay intra-host (ICI) by using the per-process device
+    order, event shards span hosts (their only communication is the final
+    grid psum, which tolerates DCN)."""
+    n_event, n_plane = pick_mesh_shape(len(jax.devices()), dim_z,
+                                       max_plane_shards)
+    return make_mesh(n_event, n_plane)

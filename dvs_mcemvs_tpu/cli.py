@@ -136,6 +136,9 @@ def run(cfg: RunConfig) -> int:
         pos = np.asarray(trajs[0].poses.t)
         span = cfg.duration if cfg.full_seq else (cfg.stop_time_s - cfg.start_time_s)
         total_t = float(np.asarray(trajs[0].ts)[-1] - np.asarray(trajs[0].ts)[0])
+        # The default window [0, 1000 s] far exceeds any real recording; the
+        # rig can't travel outside the trajectory's actual extent.
+        span = min(span, total_t) if total_t > 0 else span
         travel = float(np.linalg.norm(np.diff(pos, axis=0), axis=1).sum())
         chunk_travel = travel * (span / total_t if total_t > 0 else 1.0)
         n_pk = max(1, min(e.num for e in events) // cfg.packet_size)

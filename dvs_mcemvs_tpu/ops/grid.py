@@ -149,6 +149,17 @@ def fuse_many(grids, method: int):
     raise ValueError(f"unknown fusion method {method}")
 
 
+def fuse_harmonic_mean_of_local_focus(g1, g2, focus_method: int = 0,
+                                      sigma: float = 0.5, eps: float = 1e-1):
+    """HM of the per-slice local focus scores of two DSIs
+    (fuseDSIs_HarmonicMeanOfLocalFocus, utils.cpp:155-181): each grid is
+    replaced by its local focus transform (0 = local std-dev, 1 = local
+    mean square; cartesian3dgrid.cpp:417-483) before harmonic-mean fusion."""
+    f1 = local_focus_in_place(g1, focus_method, sigma)
+    f2 = local_focus_in_place(g2, focus_method, sigma)
+    return fuse_harmonic_mean(f1, f2, eps)
+
+
 # Streaming accumulators for temporal fusion (cartesian3dgrid.h:72-93,
 # driven by process2.cpp:211-242).
 

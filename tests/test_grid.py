@@ -187,3 +187,21 @@ def test_mean_std_and_moran_index():
     i_smooth = float(g.moran_index_gaussian_weights(jnp.asarray(smooth), 0.8))
     assert abs(i_noise) < 0.1
     assert i_smooth > 0.5
+
+
+def test_fuse_harmonic_mean_of_local_focus():
+    rng = np.random.default_rng(6)
+    a = rng.uniform(0, 4, size=(4, 8, 8)).astype(np.float32)
+    b = rng.uniform(0, 4, size=(4, 8, 8)).astype(np.float32)
+    # Composition identity: HM-of-focus == HM applied to focused grids
+    # (utils.cpp:155-181 builds exactly that pipeline).
+    got = np.asarray(g.fuse_harmonic_mean_of_local_focus(
+        jnp.asarray(a), jnp.asarray(b), focus_method=1))
+    fa = g.local_focus_in_place(jnp.asarray(a), 1)
+    fb = g.local_focus_in_place(jnp.asarray(b), 1)
+    want = np.asarray(g.fuse_harmonic_mean(fa, fb))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Variance mode (default) on a constant grid yields zero focus.
+    const = jnp.ones((3, 6, 6), jnp.float32) * 2.0
+    f = np.asarray(g.local_focus_in_place(const, 0))
+    assert np.allclose(f, 0.0, atol=1e-4)

@@ -119,12 +119,15 @@ def build_group_histograms(
     ss: int,
     dtype=jnp.bfloat16,
     correction: Optional[Tuple[float, float, float, float, float, float]] = None,
+    engine: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinear-bin each super-packet's z0 locations by one-hot matmul.
 
     `correction` = (z0, fx, fy, cx, cy, u_mid) enables the first-order
-    sweep correction (see `_sweep_correction`).
-    Returns (hist (G, hs, ws) float32, centers (G, 3)).
+    sweep correction (see `_sweep_correction`).  `engine` = "pallas" runs
+    the fused VMEM binning kernel (kernels/binning_pallas.py) instead of
+    the XLA one-hot matmuls, eliminating the HBM round trip of the tap
+    matrices.  Returns (hist (G, hs, ws) float32, centers (G, 3)).
     """
     K, P, _ = packets.xy_z0.shape
     G = -(-K // group_size)
@@ -153,6 +156,14 @@ def build_group_histograms(
     w = jnp.where(inb, w, 0.0)
     hx = jnp.clip(hx, 0.0, ws - 1)
     hy = jnp.clip(hy, 0.0, hs - 1)
+
+    if engine == "pallas":
+        from ..kernels.binning_pallas import bin_events_pallas
+
+        hist = bin_events_pallas(
+            hx, hy, w, hs=hs, ws=ws, int8=(dtype == jnp.int8),
+            interpret=_pallas_interpret())
+        return hist, centers
 
     rows = jnp.arange(hs, dtype=jnp.float32)
     cols = jnp.arange(ws, dtype=jnp.float32)
@@ -382,7 +393,7 @@ def splat_hist(
     hist, centers = build_group_histograms(
         packets, group_size, hs, ws, pad_x, pad_y, ss,
         dtype=bin_dtype if bin_dtype is not None else dtype,
-        correction=corr)
+        correction=corr, engine=engine)
     hist = hist.astype(dtype)
 
     if segments > 1:

@@ -21,6 +21,16 @@ noise (same tradeoff as the XLA i8 path, ops/voting_hist.py:167-177).
 
 Grid: (G, E/EB) with the event-block axis innermost; the (1, hs, ws) f32
 histogram block stays resident in VMEM and accumulates across event blocks.
+
+The windowed variant first sorts each group's events by row.  A block of
+sorted events spans only a few histogram rows (its quantile range), so its
+row taps cover a handful of `WH`-row strips instead of all hs rows — the
+y-tap matmul shrinks from (hs, EB) to (n_strips*WH, EB), cutting the MXU
+work by ~hs / (expected span).  Strips are ABSOLUTE (strip s = rows
+[s*WH, (s+1)*WH)), so however a block's events are distributed the strip
+sums partition the exact dense result: no votes are lost or double-counted,
+and pathological distributions merely run more strips (bounded by hs/WH,
+the dense cost).  The per-block strip range rides in as scalar prefetch.
 """
 
 from __future__ import annotations
@@ -76,6 +86,55 @@ def _kernel(hx_ref, hy_ref, w_ref, out_ref, *, hs, ws, n_eb, int8):
             out_ref[0, :, :] *= 1.0 / (127.0 * 127.0)
 
 
+def _kernel_windowed(tlo_ref, ntl_ref, hx_ref, hy_ref, w_ref, out_ref, *,
+                     hs, ws, n_eb, wh, max_strips, int8):
+    g = pl.program_id(0)
+    e = pl.program_id(1)
+    hx = hx_ref[0, 0]  # (1, EB)
+    hy = hy_ref[0, 0]
+    w = w_ref[0, 0]
+    eb = hx.shape[1]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ws, eb), 0).astype(jnp.float32)
+    ax = jnp.maximum(0.0, 1.0 - jnp.abs(hx - cols))      # (ws, EB)
+    if int8:
+        ax = jnp.round(ax * 127.0).astype(jnp.int8)
+    else:
+        ax = ax.astype(jnp.bfloat16)
+
+    @pl.when(e == 0)
+    def _():
+        out_ref[0, :, :] = jnp.zeros((hs, ws), jnp.float32)
+
+    t_lo = tlo_ref[g, e]
+    n_strips = ntl_ref[g, e]
+    srows = jax.lax.broadcasted_iota(jnp.int32, (wh, eb), 0).astype(jnp.float32)
+    for s in range(max_strips):
+        @pl.when(s < n_strips)
+        def _():
+            base = (t_lo + s) * wh
+            rows = srows + base.astype(jnp.float32)
+            ay = jnp.maximum(0.0, 1.0 - jnp.abs(hy - rows)) * w  # (WH, EB)
+            if int8:
+                ayq = jnp.round(ay * 127.0).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    ayq, ax,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            else:
+                acc = jax.lax.dot_general(
+                    ay.astype(jnp.bfloat16), ax,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            off = pl.multiple_of(base, wh)
+            out_ref[0, pl.ds(off, wh), :] += acc
+
+    if int8:
+        @pl.when(e == n_eb - 1)
+        def _():
+            out_ref[0, :, :] *= 1.0 / (127.0 * 127.0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("hs", "ws", "event_block", "int8", "interpret"))
 def bin_events_pallas(
@@ -125,3 +184,73 @@ def bin_events_pallas(
         out_shape=jax.ShapeDtypeStruct((G, hs, ws), jnp.float32),
         interpret=interpret,
     )(hx, hy, w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hs", "ws", "event_block", "window_rows", "int8",
+                     "interpret"))
+def bin_events_pallas_windowed(
+    hx: jnp.ndarray,
+    hy: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    hs: int,
+    ws: int,
+    event_block: int = 1024,
+    window_rows: int = 64,
+    int8: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sorted-window variant of `bin_events_pallas` (same contract).
+
+    Sorts each group by row coordinate so event blocks are row-quantile
+    ranges, then bins each block only into the `window_rows`-row strips its
+    events actually touch.  Exact for any event distribution (see module
+    docstring); hs must be a multiple of `window_rows`.
+    """
+    G, E = hx.shape
+    if hs % window_rows or ws % 128:
+        raise ValueError(
+            f"hs ({hs}) must be a multiple of window_rows ({window_rows}), "
+            f"ws ({ws}) 128-aligned")
+    eb = -(-event_block // 1024) * 1024
+    e_pad = -E % eb
+    if e_pad:
+        # Padding carries zero weight; hy pads at +inf so padding sorts to
+        # the stream tail and never widens a real block's strip range.
+        hx = jnp.pad(hx, ((0, 0), (0, e_pad)))
+        hy = jnp.pad(hy, ((0, 0), (0, e_pad)), constant_values=float(hs - 1))
+        w = jnp.pad(w, ((0, 0), (0, e_pad)))
+    hy, hx, w = jax.lax.sort((hy, hx, w), dimension=1, num_keys=1)
+    n_eb = (E + e_pad) // eb
+    wh = window_rows
+    max_strips = hs // wh
+
+    hy_b = hy.reshape(G, n_eb, eb)
+    first = jnp.floor(hy_b[:, :, 0]).astype(jnp.int32)
+    last = jnp.floor(hy_b[:, :, -1]).astype(jnp.int32) + 1  # +1: bilinear tap
+    t_lo = jnp.clip(first // wh, 0, max_strips - 1)
+    t_hi = jnp.clip(last // wh, 0, max_strips - 1)
+    n_strips = t_hi - t_lo + 1
+
+    shape4 = (G, n_eb, 1, eb)
+    hx, hy, w = (a.reshape(shape4) for a in (hx, hy, w))
+
+    ev_spec = pl.BlockSpec((1, 1, 1, eb), lambda g, e, *refs: (g, e, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_windowed, hs=hs, ws=ws, n_eb=n_eb,
+                             wh=wh, max_strips=max_strips, int8=int8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # t_lo, n_strips as (G, n_eb) SMEM arrays
+        grid=(G, n_eb),
+        in_specs=[ev_spec, ev_spec, ev_spec],
+        out_specs=pl.BlockSpec((1, hs, ws), lambda g, e, *refs: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, hs, ws), jnp.float32),
+        interpret=interpret,
+    )(t_lo, n_strips, hx, hy, w)

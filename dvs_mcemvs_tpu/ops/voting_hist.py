@@ -158,11 +158,17 @@ def build_group_histograms(
     hy = jnp.clip(hy, 0.0, hs - 1)
 
     if engine == "pallas":
-        from ..kernels.binning_pallas import bin_events_pallas
+        from ..kernels.binning_pallas import (
+            bin_events_pallas, bin_events_pallas_windowed)
 
-        hist = bin_events_pallas(
-            hx, hy, w, hs=hs, ws=ws, int8=(dtype == jnp.int8),
-            interpret=_pallas_interpret())
+        if hs % 64 == 0:
+            hist = bin_events_pallas_windowed(
+                hx, hy, w, hs=hs, ws=ws, int8=(dtype == jnp.int8),
+                interpret=_pallas_interpret())
+        else:  # odd grid (tests): dense fused kernel
+            hist = bin_events_pallas(
+                hx, hy, w, hs=hs, ws=ws, int8=(dtype == jnp.int8),
+                interpret=_pallas_interpret())
         return hist, centers
 
     rows = jnp.arange(hs, dtype=jnp.float32)
@@ -381,10 +387,11 @@ def splat_hist(
     hs = (height + 2 * pad_y) * ss
     ws = (width + 2 * pad_x) * ss
     if engine == "pallas":
-        # Lane/sublane alignment for the banded kernel: extend the grid at
-        # the right/bottom edge only (extra bins are simply never mapped).
+        # Lane/sublane alignment for the banded kernel, plus 64-row strip
+        # alignment for the windowed binning kernel: extend the grid at the
+        # right/bottom edge only (extra bins are simply never mapped).
         ws += -ws % 128
-        hs += -hs % 8
+        hs += -hs % 64
     Z = depths.shape[0]
 
     u_all = 1.0 / jnp.asarray(depths)

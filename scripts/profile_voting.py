@@ -2,6 +2,11 @@
 
 Times warp / binning / merge / sweep separately so optimization effort goes
 where the milliseconds are.  Not part of the product; a development tool.
+
+Timing note: on the axon TPU tunnel `block_until_ready` returns before the
+device finishes, and a host readback costs a ~20 ms round trip.  Honest
+per-step time = (loop of N dispatches + one scalar readback - RTT) / N with
+N large; RTT is measured on a trivial program first.
 """
 
 from __future__ import annotations
@@ -15,21 +20,50 @@ sys.path.insert(0, ".")
 
 import bench  # noqa: E402
 
+_RTT = None
 
-def timeit(fn, *args, iters=5):
-    import jax
+
+def _rtt():
+    """One-time measurement of the dispatch+readback round trip."""
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        tiny = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8, 128))
+        float(tiny(x).sum())
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(tiny(x).sum())
+            reps.append(time.perf_counter() - t0)
+        _RTT = float(np.median(reps))
+    return _RTT
+
+
+def timeit(fn, *args, iters=30):
+    """Median-of-3 honest per-call seconds for fn(*args)."""
+    import jax.numpy as jnp
 
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    first = jnp.asarray(jax.tree_util.tree_leaves(out)[0])
+    float(first.reshape(-1)[0])  # compile + settle
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.asarray(leaf).reshape(-1)[0])
+        runs.append((time.perf_counter() - t0 - _rtt()) / iters)
+    return max(min(runs), 0.0)
+
+
+import jax  # noqa: E402
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from dvs_mcemvs_tpu.ops import camera as camops, trajectory as trajmod, voting
@@ -39,6 +73,7 @@ def main():
     mapper, (x, y, t), traj, T_rv_w = bench.build_workload()
     dev = (jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32),
            jnp.asarray(t, jnp.float32))
+    print(f"tunnel RTT: {_rtt()*1e3:.1f} ms")
 
     z0 = float(mapper.depth_vec.depths()[0])
     vp = (float(mapper.vcam.fx), float(mapper.vcam.fy),
@@ -47,64 +82,44 @@ def main():
     Kv_inv = jnp.asarray(np.linalg.inv(mapper.vcam.P), jnp.float32)
     depths = jnp.asarray(mapper.depth_vec.depths(), jnp.float32)
     rect_params = camops.rect_static(mapper.cam)
-    traj_consts = (traj.ts, traj.poses.q, traj.poses.t, T_rv_w.q, T_rv_w.t)
 
     @jax.jit
     def warp(x, y, t):
-        trj = trajmod.Trajectory(traj_consts[0], SE3(traj_consts[1], traj_consts[2]))
+        trj = trajmod.Trajectory(traj.ts, SE3(traj.poses.q, traj.poses.t))
         return voting.warp_events_to_z0(
-            x, y, t, trj, SE3(traj_consts[3], traj_consts[4]), None, K_cam,
-            Kv_inv, z0=z0, width=mapper.width, packet_size=1024, full=True,
+            x, y, t, trj, SE3(T_rv_w.q, T_rv_w.t), None, K_cam, Kv_inv,
+            z0=z0, width=mapper.width, packet_size=1024, full=True,
             rect_params=rect_params)
 
     print(f"warp: {timeit(warp, *dev)*1e3:.2f} ms")
     packets = warp(*dev)
 
-    G = 16
-    ss = 1
-    pad_x, pad_y = 128, 32
-    hs = (mapper.height + 2 * pad_y) * ss
-    ws = (mapper.width + 2 * pad_x) * ss
+    G, ss, pad_x, pad_y = 16, 1, 128, 32
+    hs = (480 + 2 * pad_y) * ss
+    ws = (640 + 2 * pad_x) * ss
     ws += -ws % 128
-    hs += -hs % 8
+    hs += -hs % 64
     u_all = 1.0 / np.asarray(mapper.depth_vec.depths())
-    u_mid = 0.5 * (u_all.min() + u_all.max())
-    corr = (z0, *vp, u_mid)
+    corr = (z0, *vp, 0.5 * (u_all.min() + u_all.max()))
 
-    def binning(pk, dtype):
-        return vh.build_group_histograms(pk, G, hs, ws, pad_x, pad_y, ss,
-                                         dtype=dtype, correction=corr)
+    for name, dt, eng in [("xla-bf16", jnp.bfloat16, "xla"),
+                          ("pl-bf16", jnp.bfloat16, "pallas"),
+                          ("pl-int8", jnp.int8, "pallas")]:
+        fn = jax.jit(lambda pk, dt=dt, eng=eng: vh.build_group_histograms(
+            pk, G, hs, ws, pad_x, pad_y, ss, dtype=dt, correction=corr,
+            engine=eng))
+        print(f"binning {name}: {timeit(fn, packets)*1e3:.2f} ms")
 
-    bin_bf16 = jax.jit(lambda pk: binning(pk, jnp.bfloat16))
-    bin_i8 = jax.jit(lambda pk: binning(pk, jnp.int8))
-    t_bin = timeit(bin_bf16, packets)
-    print(f"binning bf16 (g{G}, {hs}x{ws}): {t_bin*1e3:.2f} ms")
-    t_bin8 = timeit(bin_i8, packets)
-    print(f"binning int8: {t_bin8*1e3:.2f} ms")
-
-    hist, centers = bin_bf16(packets)
-    hist = hist.astype(jnp.bfloat16)
-
-    segments = 10
-    useg = u_all[:10]
-    u_mid_s = 0.5 * (useg.min() + useg.max())
-
-    merge_pl = jax.jit(lambda h, c: vh.merge_leaf_histograms(
-        h, c, segments, u_mid_s, z0, vp, pad_x, pad_y, ss,
-        dtype=jnp.bfloat16, engine="pallas"))
-    t_merge = timeit(merge_pl, hist, centers)
-    print(f"merge (1 segment, {hist.shape[0]} leaves -> pallas): {t_merge*1e3:.2f} ms "
-          f"(x{segments} segments = {t_merge*segments*1e3:.2f} ms)")
-
-    hist_s, centers_s = merge_pl(hist, centers)
-    dseg = depths[:10]
-
-    sweep_pl = jax.jit(lambda h, c: vh._sweep_planes(
-        h, c, dseg, z0, vp, mapper.width, mapper.height, pad_x, pad_y, ss,
-        10, jnp.bfloat16, "pallas"))
-    t_sweep = timeit(sweep_pl, hist_s, centers_s)
-    print(f"sweep (1 segment, 10 planes x {hist_s.shape[0]} supergroups, pallas): "
-          f"{t_sweep*1e3:.2f} ms (x{segments} = {t_sweep*segments*1e3:.2f} ms)")
+    for desc, kw in [
+        ("g16,seg10,pl", dict(group_size=16, segments=10, engine="pallas",
+                              plane_block=10)),
+        ("g16,seg10,pl,i8bin", dict(group_size=16, segments=10,
+                                    engine="pallas", plane_block=10,
+                                    bin_dtype=jnp.int8)),
+    ]:
+        fn = jax.jit(lambda pk, kw=kw: vh.splat_hist(
+            pk, depths, z0, vp, mapper.width, mapper.height, **kw))
+        print(f"splat {desc}: {timeit(fn, packets)*1e3:.2f} ms")
 
     full = bench.make_step(mapper, traj, T_rv_w, "hist:g16,seg10,pl", 10)
     print(f"full step hist:g16,seg10,pl: {timeit(full, *dev)*1e3:.2f} ms")

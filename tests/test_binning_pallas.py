@@ -70,6 +70,49 @@ def test_zero_weight_events_ignored():
     np.testing.assert_allclose(full, half, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("dist", ["uniform", "bimodal", "point", "edge"])
+def test_windowed_matches_dense(int8, dist):
+    """Sorted-window binning is exact for any event distribution."""
+    from dvs_mcemvs_tpu.kernels.binning_pallas import bin_events_pallas_windowed
+
+    rng = np.random.default_rng(7)
+    G, E, hs, ws = 2, 2048, 192, 256
+    if dist == "uniform":
+        hy = rng.uniform(0, hs - 1, (G, E))
+    elif dist == "bimodal":  # straddles a huge row gap
+        hy = np.where(rng.random((G, E)) < 0.5,
+                      rng.uniform(0, 8, (G, E)),
+                      rng.uniform(hs - 9, hs - 1, (G, E)))
+    elif dist == "point":    # everything in one strip
+        hy = np.full((G, E), 100.25)
+    else:                    # at the top clip boundary
+        hy = np.full((G, E), hs - 1.0)
+    hx = jnp.asarray(rng.uniform(0, ws - 1, (G, E)), jnp.float32)
+    hy = jnp.asarray(hy, jnp.float32)
+    w = jnp.asarray(rng.uniform(0.0, 1.0, (G, E)), jnp.float32)
+
+    dense = np.asarray(bin_events_pallas(hx, hy, w, hs=hs, ws=ws,
+                                         int8=int8, interpret=True))
+    windowed = np.asarray(bin_events_pallas_windowed(
+        hx, hy, w, hs=hs, ws=ws, int8=int8, interpret=True))
+    np.testing.assert_allclose(windowed, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_pads_to_block():
+    """Non-multiple-of-block streams pad with zero-weight tail events."""
+    from dvs_mcemvs_tpu.kernels.binning_pallas import bin_events_pallas_windowed
+
+    rng = np.random.default_rng(8)
+    G, E, hs, ws = 1, 1500, 64, 128
+    hx = jnp.asarray(rng.uniform(0, ws - 1, (G, E)), jnp.float32)
+    hy = jnp.asarray(rng.uniform(0, hs - 1, (G, E)), jnp.float32)
+    w = jnp.ones((G, E), jnp.float32)
+    got = np.asarray(bin_events_pallas_windowed(hx, hy, w, hs=hs, ws=ws,
+                                                interpret=True))
+    np.testing.assert_allclose(got.sum(), E, rtol=1e-3)
+
+
 def test_hist_backend_pallas_engine_matches_xla():
     """build_group_histograms(engine='pallas') ≡ engine='xla'."""
     from dvs_mcemvs_tpu.ops.voting import WarpedPackets

@@ -186,13 +186,36 @@ def run(cfg: RunConfig) -> int:
 
         jax.profiler.start_trace(cfg.profile_dir)
         log.info("jax profiler tracing to %s", cfg.profile_dir)
+    try:
+        return _run_configured(cfg, rig, mappers, events, trajs, opts,
+                               run_process, flag_text)
+    finally:
+        # Flush the trace on both paths and on errors (a lost trace is the
+        # whole point of --profile_dir).
+        if cfg.profile_dir:
+            import jax
 
+            jax.profiler.stop_trace()
+
+
+def _run_configured(cfg, rig, mappers, events, trajs, opts, run_process,
+                    flag_text) -> int:
     if cfg.full_seq:
         fopts = pipeline.FullSeqOptions(
             start_time=cfg.start_time_s, stop_time=cfg.stop_time_s,
             duration=cfg.duration, out_skip=cfg.out_skip,
             forward_looking=cfg.forward_looking)
-        runner = pipeline.run_full_seq(mappers, events, trajs, fopts, run_process)
+        from .checkpoint import RunCheckpoint, config_fingerprint
+
+        # The skip predicate rides into the scheduler so resumed chunks
+        # never reach process() — resume saves the voting compute, not just
+        # the file writes (chunk independence, main.cpp:177).
+        ckpt = RunCheckpoint(
+            os.path.join(cfg.out_path, "checkpoint.json"),
+            fingerprint=config_fingerprint(flag_text),
+            enabled=cfg.checkpoint)
+        runner = pipeline.run_full_seq(mappers, events, trajs, fopts,
+                                       run_process, skip=ckpt.is_done)
         if cfg.use_event_store:
             try:
                 from .io import evstore
@@ -203,21 +226,15 @@ def run(cfg: RunConfig) -> int:
                     evstore.write_store(path, ev)
                     stores.append(evstore.EventStore(path))
                 runner = pipeline.run_full_seq_stores(
-                    mappers, stores, trajs, fopts, run_process)
+                    mappers, stores, trajs, fopts, run_process,
+                    skip=ckpt.is_done)
                 log.info("full_seq: native event store + prefetch enabled")
             except Exception as e:  # no toolchain: keep the numpy path
                 log.warning("native event store unavailable (%s)", e)
-        from .checkpoint import RunCheckpoint, config_fingerprint
-
-        ckpt = RunCheckpoint(
-            os.path.join(cfg.out_path, "checkpoint.json"),
-            fingerprint=config_fingerprint(flag_text),
-            enabled=cfg.checkpoint)
         n_chunks = 0
-        for k, ts, res in runner:
-            if ckpt.is_done(k):
-                log.info("chunk %d @ ts=%.3f already complete; skipped", k, ts)
-                continue
+
+        def save_chunk(k: int, ts: float, res) -> None:
+            nonlocal n_chunks
             prefix = outputs.timestamp_prefix(cfg.out_path, ts)
             _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix, opts)
             if cfg.save_dsi:
@@ -225,14 +242,20 @@ def run(cfg: RunConfig) -> int:
                                       np.asarray(res.fused_dsi))
             ckpt.mark_done(k, ts)
             n_chunks += 1
-            log.info("chunk %d @ ts=%.3f done (%.1f Mev/s)", k, ts,
-                     res.mev_per_s or 0.0)
+            log.info("chunk %d @ ts=%.3f done", k, ts)
+
+        # One-chunk-deep pipeline: chunk k's (blocking) extraction + file
+        # writes happen only after chunk k+1's voting has been dispatched,
+        # so host output I/O overlaps device compute.
+        pending = None
+        for item in runner:
+            if pending is not None:
+                save_chunk(*pending)
+            pending = item
+        if pending is not None:
+            save_chunk(*pending)
         log.info("full_seq: %d chunks written (%d total complete)",
                  n_chunks, ckpt.num_done or n_chunks)
-        if cfg.profile_dir:
-            import jax
-
-            jax.profiler.stop_trace()
         return 0
 
     # Single-shot path (main.cpp:303-433).

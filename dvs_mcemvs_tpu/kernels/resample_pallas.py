@@ -47,10 +47,14 @@ def _pick_tile(dim: int, target: int, mult: int) -> int:
     return max(t, mult)
 
 
-def _kernel(sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
-            *, Ho, Wo, hs, ws, TV, TU, QV, QU, acc_dtype):
+def _kernel(src_ref, sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
+            *acc_scratch, Ho, Wo, hs, ws, TV, TU, QV, QU, acc_dtype, K):
     n = pl.program_id(0)
     k = pl.program_id(1)
+    # With a bf16 output, accumulation runs in an f32 VMEM scratch and the
+    # cast happens once on the final inner step (halves the HBM traffic of
+    # chained resample levels, e.g. the butterfly merge).
+    acc = acc_scratch[0] if acc_scratch else None
     sy = sy_ref[n, k]
     ty = ty_ref[n, k]
     sx = sx_ref[n, k]
@@ -95,19 +99,28 @@ def _kernel(sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+        tgt = out_ref if acc is None else acc
+        idx = (0, slice(None), pl.ds(u0, TU)) if acc is None \
+            else (slice(None), pl.ds(u0, TU))
+
         @pl.when(k == 0)
         def _():
-            out_ref[0, :, pl.ds(u0, TU)] = xt
+            tgt[idx] = xt
 
         @pl.when(k > 0)
         def _():
-            out_ref[0, :, pl.ds(u0, TU)] += xt
+            tgt[idx] += xt
+
+        if acc is not None:
+            @pl.when(k == K - 1)
+            def _():
+                out_ref[0, :, pl.ds(u0, TU)] = tgt[idx].astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("out_h", "out_w", "blocked", "tile_v", "tile_u",
-                     "scale_min", "interpret"),
+                     "scale_min", "interpret", "out_dtype"),
 )
 def banded_resample_sum(
     hist: jnp.ndarray,
@@ -123,6 +136,8 @@ def banded_resample_sum(
     tile_u: int = 128,
     scale_min: float = 0.5,
     interpret: bool = False,
+    src: jnp.ndarray = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """out[n] = sum_k resample(hist[src(n, k)], affine map (sy..tx)[n, k]).
 
@@ -130,7 +145,11 @@ def banded_resample_sum(
     (forward convention: output position = input position * s + t).
     blocked=False: src = k (K == G, every output sums all histograms —
     the plane sweep).  blocked=True: src = n*K + k (G == N*K, disjoint
-    groups — the leaf merge).  Returns (N, out_h, out_w) float32.
+    groups — the leaf merge).  An explicit `src` (N, K) i32 array overrides
+    both: source blocks are gathered straight from `hist` via scalar
+    prefetch, so callers with shared parents (the butterfly merge) never
+    materialize duplicated inputs.  Returns (N, out_h, out_w) in
+    `out_dtype` (default float32; accumulation is f32 either way).
 
     `scale_min` is the caller's static lower bound on every map's scale; a
     TV-row output tile reads a TV/scale_min (+slack) input band.  Maps with
@@ -144,10 +163,21 @@ def banded_resample_sum(
     N, K = sy.shape
     if ws % 128 or out_w % 128:
         raise ValueError(f"ws ({ws}) and out_w ({out_w}) must be 128-multiples")
-    if blocked and G != N * K:
-        raise ValueError(f"blocked mode needs G == N*K, got {G} != {N}*{K}")
-    if not blocked and G != K:
-        raise ValueError(f"sweep mode needs G == K, got {G} != {K}")
+    if src is None:
+        if blocked and G != N * K:
+            raise ValueError(f"blocked mode needs G == N*K, got {G} != {N}*{K}")
+        if not blocked and G != K:
+            raise ValueError(f"sweep mode needs G == K, got {G} != {K}")
+        if blocked:
+            base = jnp.arange(N, dtype=jnp.int32)[:, None] * K
+            src = base + jnp.arange(K, dtype=jnp.int32)[None, :]
+        else:
+            src = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                                   (N, K))
+    elif src.shape != (N, K):
+        raise ValueError(f"src shape {src.shape} != maps shape {(N, K)}")
+    out_dtype = out_dtype or jnp.float32
+    bf16_out = out_dtype == jnp.bfloat16
 
     TV = _pick_tile(out_h, tile_v, 8)
     TU = _pick_tile(out_w, tile_u, 128)
@@ -158,16 +188,16 @@ def banded_resample_sum(
     acc_dtype = hist.dtype if hist.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
 
-    if blocked:
-        hist_map = lambda n, k, *refs: (n * K + k, 0, 0)
-    else:
-        hist_map = lambda n, k, *refs: (k, 0, 0)
+    hist_map = lambda n, k, src_ref, *refs: (src_ref[n, k], 0, 0)
 
     kern = functools.partial(
         _kernel, Ho=out_h, Wo=out_w, hs=hs, ws=ws,
-        TV=TV, TU=TU, QV=QV, QU=QU, acc_dtype=acc_dtype)
+        TV=TV, TU=TU, QV=QV, QU=QU, acc_dtype=acc_dtype, K=K)
+    scratch = [pltpu.VMEM((out_h, ws), jnp.float32)]
+    if bf16_out:
+        scratch.append(pltpu.VMEM((out_h, out_w), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # sy, ty, sx, tx as full (N, K) SMEM arrays
+        num_scalar_prefetch=5,  # src, sy, ty, sx, tx as (N, K) SMEM arrays
         grid=(N, K),
         in_specs=[
             pl.BlockSpec((1, hs, ws), hist_map, memory_space=pltpu.VMEM),
@@ -175,12 +205,12 @@ def banded_resample_sum(
         out_specs=pl.BlockSpec((1, out_h, out_w),
                                lambda n, k, *refs: (n, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((out_h, ws), jnp.float32)],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, out_h, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, out_h, out_w), out_dtype),
         interpret=interpret,
-    )(sy.astype(jnp.float32), ty.astype(jnp.float32),
+    )(src.astype(jnp.int32), sy.astype(jnp.float32), ty.astype(jnp.float32),
       sx.astype(jnp.float32), tx.astype(jnp.float32), hist)

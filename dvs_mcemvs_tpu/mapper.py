@@ -113,15 +113,27 @@ def make_mapper(
 def _evaluate_dsi_jit(
     x, y, t, traj_ts, traj_q, traj_t, T_rv_w_q, T_rv_w_t, lut, K_cam, Kv_inv,
     depths, z0, width, height, vcam_params, packet_size, backend, plane_block,
-    rect_params=None,
+    rect_params=None, ev_weight=None,
 ):
     traj = trajmod.Trajectory(traj_ts, SE3(traj_q, traj_t))
     packets = voting.warp_events_to_z0(
         x, y, t, traj, SE3(T_rv_w_q, T_rv_w_t), lut, K_cam, Kv_inv,
         z0=z0, width=width, packet_size=packet_size, rect_params=rect_params,
+        ev_weight=ev_weight, full=ev_weight is not None,
     )
     fn = voting.resolve_backend(backend)
     return fn(packets, depths, z0, vcam_params, width, height, plane_block=plane_block)
+
+
+def bucket_capacity(n: int, packet_size: int) -> int:
+    """Smallest power-of-two packet count covering n events.
+
+    Quantizing chunk buffers to capacity buckets keeps `_evaluate_dsi_jit`'s
+    traced shapes stable across full_seq chunks: O(log E) compiles for a
+    whole run instead of one per chunk (the reference re-reads and
+    re-processes exact-size buffers every chunk, main.cpp:191-199)."""
+    k = -(-n // packet_size)
+    return packet_size * (1 << max(k - 1, 0).bit_length())
 
 
 def evaluate_dsi(
@@ -133,6 +145,7 @@ def evaluate_dsi(
     backend: str = "scatter",
     plane_block: int = 8,
     rectify: str = "device",
+    pad: str = "none",
 ) -> Optional[jnp.ndarray]:
     """Back-project a chunk of events into a fresh (Z, H, W) DSI.
 
@@ -142,9 +155,28 @@ def evaluate_dsi(
     `rectify` = "device" recomputes event rectification analytically on the
     VPU (the TPU-fast path); "lut" gathers the precomputed host LUT (the
     reference-parity path, src/mapper_emvs_stereo.cpp:129-142).
+
+    `pad` = "bucket" pads the event buffer with zero-weight events to a
+    power-of-two packet capacity (`bucket_capacity`): jit shapes stay
+    stable across varying chunk sizes AND the trailing partial packet votes
+    (the reference drops events beyond the last full packet, cpp:88;
+    pad="none" keeps that drop semantics exactly).
     """
     if events.num <= packet_size:
         return None
+    ev_weight = None
+    x_arr, y_arr, t_arr = events.x, events.y, events.t
+    if pad == "bucket":
+        cap = bucket_capacity(events.num, packet_size)
+        extra = cap - events.num
+        x_arr = np.pad(np.asarray(x_arr), (0, extra))
+        y_arr = np.pad(np.asarray(y_arr), (0, extra))
+        t_arr = np.pad(np.asarray(t_arr), (0, extra), mode="edge")
+        w = np.zeros(cap, np.float32)
+        w[:events.num] = 1.0
+        ev_weight = jnp.asarray(w)
+    elif pad != "none":
+        raise ValueError(f"pad must be 'none' or 'bucket', got {pad!r}")
     depths = jnp.asarray(mapper.depth_vec.depths())
     z0 = float(mapper.depth_vec.depths()[0])
     vp = (
@@ -155,14 +187,14 @@ def evaluate_dsi(
     Kv_inv = jnp.asarray(np.linalg.inv(mapper.vcam.P), jnp.float32)
     rect_params = camops.rect_static(mapper.cam) if rectify == "device" else None
     return _evaluate_dsi_jit(
-        jnp.asarray(events.x, jnp.int32),
-        jnp.asarray(events.y, jnp.int32),
-        jnp.asarray(events.t, jnp.float32),
+        jnp.asarray(x_arr, jnp.int32),
+        jnp.asarray(y_arr, jnp.int32),
+        jnp.asarray(t_arr, jnp.float32),
         traj.ts, traj.poses.q, traj.poses.t,
         T_rv_w.q, T_rv_w.t,
         jnp.asarray(mapper.lut), K_cam, Kv_inv, depths,
         z0, mapper.width, mapper.height, vp, packet_size, backend, plane_block,
-        rect_params,
+        rect_params, ev_weight,
     )
 
 

@@ -407,6 +407,8 @@ def resolve_backend(spec: str):
             kw["bin_dtype"] = jnp.int8
         elif tok == "pl":
             kw["engine"] = "pallas"
+        elif tok == "bf":
+            kw["merge_mode"] = "butterfly"
         else:
             raise ValueError(f"unknown hist option {tok!r} in {spec!r}")
     return voting_hist.make_hist_backend(**kw)

@@ -295,10 +295,101 @@ def merge_leaf_histograms(
             hist, m_s.reshape(P, merge), bt_y.reshape(P, merge),
             m_s.reshape(P, merge), bt_x.reshape(P, merge),
             out_h=hs_, out_w=ws_, blocked=True, scale_min=0.8,
+            out_dtype=dtype if dtype == jnp.bfloat16 else None,
             interpret=_pallas_interpret())
         return out, centers_super
     res = _resample_hist_affine(hist, m_s, bt_y, m_s, bt_x, dtype=dtype)
     return jnp.sum(res.reshape(P, merge, *res.shape[1:]), axis=1), centers_super
+
+
+def _frame_change_maps(centers_src, centers_tgt, u_mid, z0, vcam_params,
+                       pad_x, pad_y, ss):
+    """Bin-coordinate affine maps m = sweep_tgt(u_mid)^-1 o sweep_src(u_mid)
+    taking a histogram built in `centers_src`'s sweep frame into
+    `centers_tgt`'s, exact at inverse depth u_mid (first-order across a
+    segment).  centers_* (N, 3); returns (s, ty, tx) each (N,)."""
+    fx, fy, cx, cy = vcam_params
+    u = jnp.atleast_1d(jnp.asarray(u_mid, jnp.float32))
+    s_l, tx_l, ty_l = _sweep_scale_trans(centers_src, u, z0, fx, fy, cx, cy)
+    s_p, tx_p, ty_p = _sweep_scale_trans(centers_tgt, u, z0, fx, fy, cx, cy)
+    m_s = (s_l / s_p)[:, 0]
+    m_tx = ((tx_l - tx_p) / s_p)[:, 0]
+    m_ty = ((ty_l - ty_p) / s_p)[:, 0]
+    bt_x = ss * (m_tx + pad_x * (1.0 - m_s))
+    bt_y = ss * (m_ty + pad_y * (1.0 - m_s))
+    return m_s, bt_y, bt_x
+
+
+def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
+                     pad_x, pad_y, ss, dtype):
+    """Hierarchical pair-merge of leaf histograms — the multi-level version
+    of the flat `merge_leaf_histograms` pass (the fast-slant-stack
+    butterfly).  At each level, pairs of adjacent groups merge into a node
+    at their mean camera center while the valid inverse-depth range halves:
+    level l holds 2^l range-specialized copies of G/2^l nodes.  Total merge
+    work is 2*G*log2(S) resamples instead of the flat pass's S*G.
+
+    Returns (hist_per_segment (S, G/S, hs, ws), centers (G/S, 3)).
+    """
+    from ..kernels.resample_pallas import banded_resample_sum
+
+    S = len(bounds) - 1
+    levels = int(np.log2(S))
+    G0, hs_, ws_ = hist.shape
+    # Pad the leaf axis to a multiple of S so every level pairs evenly.
+    pad_g = -G0 % S
+    if pad_g:
+        hist = jnp.pad(hist, ((0, pad_g), (0, 0), (0, 0)))
+        centers = jnp.concatenate(
+            [centers, jnp.broadcast_to(centers[-1:], (pad_g, 3))])
+    G = hist.shape[0]
+
+    def block_umid(lvl, r):
+        """u-midpoint of range r at level lvl (covers S/2^lvl segments).
+        Boundaries are static; the value traces with `depths`."""
+        per = S >> lvl
+        i0, i1 = bounds[r * per], bounds[(r + 1) * per]
+        if i1 <= i0:
+            i0, i1 = max(i0 - 1, 0), i0 + 1
+        u = 1.0 / depths[i0:i1]
+        return 0.5 * (jnp.min(u) + jnp.max(u))
+
+    cur = hist.astype(dtype)               # (R*N, hs, ws), R=1, N=G
+    cen = centers                           # (N, 3) — shared across ranges
+    R, N = 1, G
+    for lvl in range(1, levels + 1):
+        R_prev, N_prev = R, N
+        R, N = 2 * R_prev, N_prev // 2
+        tgt = jnp.mean(cen.reshape(N, 2, 3), axis=1)            # (N, 3)
+        tgt_rep = jnp.repeat(tgt, 2, axis=0)                    # (N_prev, 3)
+
+        # Child (r, n) sums its two parents from range r//2; sources are
+        # gathered by index (scalar prefetch) — no duplicated input copies.
+        rs = np.arange(R)[:, None, None]
+        ns = np.arange(N)[None, :, None]
+        ks = np.arange(2)[None, None, :]
+        src = ((rs // 2) * N_prev + 2 * ns + ks).reshape(R * N, 2)
+
+        # Each parent range feeds two child ranges with different u_mids.
+        sys_, tys_, txs_ = [], [], []
+        for r in range(R):
+            u_mid_r = block_umid(lvl, r)
+            m_s, bt_y, bt_x = _frame_change_maps(
+                cen, tgt_rep, u_mid_r, z0, vcam_params, pad_x, pad_y, ss)
+            sys_.append(m_s)
+            tys_.append(bt_y)
+            txs_.append(bt_x)
+        NK = R * N
+        sy = jnp.concatenate(sys_).reshape(NK, 2)
+        ty = jnp.concatenate(tys_).reshape(NK, 2)
+        tx = jnp.concatenate(txs_).reshape(NK, 2)
+        cur = banded_resample_sum(
+            cur, sy, ty, sy, tx,
+            out_h=hs_, out_w=ws_, blocked=True, scale_min=0.9,
+            src=jnp.asarray(src, jnp.int32), out_dtype=dtype,
+            interpret=_pallas_interpret())
+        cen = tgt
+    return cur.reshape(R, N, hs_, ws_), cen
 
 
 def _pallas_interpret() -> bool:
@@ -312,13 +403,15 @@ def segment_bounds_equal_u(depths: np.ndarray, segments: int) -> Tuple[int, ...]
     the `segments` mode; returns a (segments+1)-tuple of indices."""
     d = np.asarray(depths, np.float64)
     u = 1.0 / d
-    lo, hi = min(u[0], u[-1]), max(u[0], u[-1])
-    edges = np.linspace(lo, hi, segments + 1)
-    # Position of each plane's u in the edge grid, made monotone.
+    # Edges walk the sweep in PLANE order (u[0] -> u[-1]), so the same
+    # search works for ascending-depth (descending-u, the standard case)
+    # and descending-depth sweeps: boundary k is the first plane past the
+    # k-th equal-u edge along the sweep direction.
+    targets = np.linspace(u[0], u[-1], segments + 1)
+    sign = 1.0 if u[-1] >= u[0] else -1.0
     idx = [0]
     for k in range(1, segments):
-        pos = int(np.searchsorted(np.sort(u), edges[k]))
-        pos = len(u) - pos if u[0] > u[-1] else pos
+        pos = int(np.searchsorted(sign * u, sign * targets[k]))
         idx.append(int(np.clip(pos, idx[-1] + 1, len(u) - (segments - k))))
     idx.append(len(u))
     return tuple(idx)
@@ -362,6 +455,7 @@ def splat_hist(
     seg_bounds: Optional[Tuple[int, ...]] = None,
     bin_dtype=None,
     engine: str = "xla",
+    merge_mode: str = "flat",
 ) -> jnp.ndarray:
     """Vote all packets into a (Z, H, W) DSI by histogram + affine resample.
 
@@ -380,7 +474,10 @@ def splat_hist(
     merged into supergroups of `segments` leaves per chunk
     (`merge_leaf_histograms`), cutting the per-plane resample work from
     G x Z to ~G x Z / segments + G x segments merges.  This is a flat
-    two-level version of the fast-slant-stack butterfly.
+    two-level version of the fast-slant-stack butterfly;
+    `merge_mode="butterfly"` (pallas engine, power-of-two segments) runs
+    the full multi-level tree — O(G log S) merges instead of O(G S), at
+    the cost of ~sqrt(log2 S)/ss bins of extra resample blur.
     """
     fx, fy, cx, cy = vcam_params
     ss = supersample
@@ -408,6 +505,24 @@ def splat_hist(
             bounds = [round(s * Z / segments) for s in range(segments + 1)]
         else:
             bounds = list(seg_bounds)
+        if merge_mode == "butterfly":
+            if engine != "pallas" or segments & (segments - 1):
+                raise ValueError(
+                    "merge_mode='butterfly' needs the pallas engine and a "
+                    f"power-of-two segment count (got {engine}, {segments})")
+            hist_seg, centers_s = _merge_butterfly(
+                hist, centers, depths, bounds, z0, vcam_params,
+                pad_x, pad_y, ss, dtype)
+            parts = []
+            for s in range(segments):
+                i0, i1 = bounds[s], bounds[s + 1]
+                if i0 >= i1:
+                    continue
+                parts.append(_sweep_planes(
+                    hist_seg[s].astype(dtype), centers_s, depths[i0:i1], z0,
+                    vcam_params, width, height, pad_x, pad_y, ss,
+                    min(plane_block, i1 - i0), dtype, engine))
+            return jnp.concatenate(parts, axis=0)
         parts = []
         for s in range(segments):
             i0, i1 = bounds[s], bounds[s + 1]
@@ -527,10 +642,11 @@ def make_hist_backend(group_size: int = 32, supersample: int = 1,
                       dtype=jnp.bfloat16, correct: bool = True,
                       segments: int = 1,
                       seg_bounds: Optional[Tuple[int, ...]] = None,
-                      bin_dtype=None, engine: str = "xla"):
+                      bin_dtype=None, engine: str = "xla",
+                      merge_mode: str = "flat"):
     """A SPLAT_BACKENDS-compatible callable with fixed histogram knobs."""
     return functools.partial(
         splat_hist, group_size=group_size, supersample=supersample,
         pad_x=pad_x, pad_y=pad_y, dtype=dtype, correct=correct,
         segments=segments, seg_bounds=seg_bounds, bin_dtype=bin_dtype,
-        engine=engine)
+        engine=engine, merge_mode=merge_mode)

@@ -45,6 +45,14 @@ class VotingOptions:
     packet_size: int = voting.DEFAULT_PACKET_SIZE
     backend: str = "scatter"
     plane_block: int = 8
+    # "bucket" pads chunks to power-of-two packet capacities so the voting
+    # jit compiles O(log E) times per run instead of once per chunk size
+    # (and the trailing partial packet votes); "none" = reference-exact.
+    pad_policy: str = "bucket"
+    # True blocks on the device after each chunk's voting for exact Mev/s
+    # timing; False (default) lets dispatch run ahead so host prep of
+    # chunk k+1 overlaps device compute of chunk k.
+    sync: bool = False
 
 
 @dataclasses.dataclass
@@ -84,7 +92,9 @@ def _evaluate_all(
     vopts: VotingOptions,
 ) -> Tuple[List[Optional[jnp.ndarray]], float, int]:
     """Per-camera DSIs + wall time + total events (the Mev/s probe of
-    process1.cpp:80-86)."""
+    process1.cpp:80-86).  With vopts.sync=False the time covers dispatch
+    only (the returned DSIs are in flight) — exact per-chunk timing costs
+    the ingest/compute overlap, so it is opt-in."""
     t0 = time.time()
     dsis = []
     n_ev = 0
@@ -92,12 +102,12 @@ def _evaluate_all(
         dsi = mappermod.evaluate_dsi(
             m, ev, trj, T_rv_w,
             packet_size=vopts.packet_size, backend=vopts.backend,
-            plane_block=vopts.plane_block,
+            plane_block=vopts.plane_block, pad=vopts.pad_policy,
         )
         if dsi is not None:
             n_ev += ev.num
         dsis.append(dsi)
-    if any(d is not None for d in dsis):
+    if vopts.sync and any(d is not None for d in dsis):
         [d.block_until_ready() for d in dsis if d is not None]
     return dsis, time.time() - t0, n_ev
 
@@ -309,6 +319,7 @@ def run_full_seq(
     trajs: Sequence[trajmod.Trajectory],
     opts: FullSeqOptions,
     process: Callable[..., ProcessResult],
+    skip: Optional[Callable[[int], bool]] = None,
     **process_kwargs,
 ) -> Iterator[Tuple[int, float, ProcessResult]]:
     """Run `process` over sliding windows of a resident event store.
@@ -319,8 +330,15 @@ def run_full_seq(
     restartability property noted in SURVEY.md §5) without the I/O cost.
     Yields (chunk_index, rv_timestamp, result); chunks whose event slice is
     too small are skipped with a warning, like the reference's false return.
+
+    `skip(k)` is consulted BEFORE the chunk is computed — checkpoint resume
+    (checkpoint.RunCheckpoint.is_done) must save the voting compute, not
+    just the output writes.
     """
     for k, (t0, t1, ts) in enumerate(full_seq_windows(opts)):
+        if skip is not None and skip(k):
+            log.info("chunk %d @ ts=%.3f already complete; skipped", k, ts)
+            continue
         chunk = [ev.time_window(t0, t1) for ev in events]
         try:
             res = process(mappers, chunk, trajs, ts, **process_kwargs)
@@ -336,18 +354,22 @@ def run_full_seq_stores(
     trajs: Sequence[trajmod.Trajectory],
     opts: FullSeqOptions,
     process: Callable[..., ProcessResult],
+    skip: Optional[Callable[[int], bool]] = None,
     **process_kwargs,
 ) -> Iterator[Tuple[int, float, ProcessResult]]:
     """full_seq over native event stores with chunk-ahead page prefetch.
 
-    Identical chunking to `run_full_seq`, but windows come from the mmap'd
-    stores (O(log E) native binary search) and while chunk k computes on
-    the device, each store's background thread warms chunk k+1's pages —
-    the ingest/compute overlap absent from the reference's serial loop
-    (main.cpp:173-302).
+    Identical chunking to `run_full_seq` (including the pre-compute `skip`
+    predicate), but windows come from the mmap'd stores (O(log E) native
+    binary search) and while chunk k computes on the device, each store's
+    background thread warms chunk k+1's pages — the ingest/compute overlap
+    absent from the reference's serial loop (main.cpp:173-302).
     """
     windows = list(full_seq_windows(opts))
     for k, (t0, t1, ts) in enumerate(windows):
+        if skip is not None and skip(k):
+            log.info("chunk %d @ ts=%.3f already complete; skipped", k, ts)
+            continue
         if k + 1 < len(windows):
             n0, n1, _ = windows[k + 1]
             for s in stores:

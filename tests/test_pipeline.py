@@ -127,3 +127,36 @@ def test_run_full_seq_yields_chunks(small_rig):
     assert len(chunks) == 2
     for k, ts, res in chunks:
         assert np.asarray(res.fused_dsi).max() > 0
+
+
+def test_bucket_padding_exact_and_stable_shapes(small_rig):
+    """pad="bucket" votes exactly the same events as an unpadded call that
+    covers them (zero-weight padding adds nothing), and quantizes traced
+    shapes so different chunk sizes inside one bucket share one compile."""
+    from dvs_mcemvs_tpu.mapper import bucket_capacity, _evaluate_dsi_jit
+
+    _, mappers, events, trajs = small_rig
+    m, ev, trj = mappers[0], events[0], trajs[0]
+    T_rv_w = pipeline.place_reference_view(trj, 0.5)
+    P = 128
+    E = 6 * P  # not a power-of-two packet count -> bucket pads to 8*P
+
+    assert bucket_capacity(6 * P, P) == 8 * P
+    assert bucket_capacity(8 * P, P) == 8 * P
+    assert bucket_capacity(8 * P + 1, P) == 16 * P
+
+    # pad="none" votes events [0, K*P) with K=(E'-1)//P: E'=E+1 covers E.
+    ref = evaluate_dsi(m, ev.slice(0, E + 1), trj, T_rv_w, packet_size=P,
+                       pad="none")
+    got = evaluate_dsi(m, ev.slice(0, E), trj, T_rv_w, packet_size=P,
+                       pad="bucket")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+    # Same-bucket sizes share one compiled executable.
+    before = _evaluate_dsi_jit._cache_size()
+    evaluate_dsi(m, ev.slice(0, E - 37), trj, T_rv_w, packet_size=P,
+                 pad="bucket")
+    evaluate_dsi(m, ev.slice(0, E - 201), trj, T_rv_w, packet_size=P,
+                 pad="bucket")
+    assert _evaluate_dsi_jit._cache_size() == before

@@ -142,12 +142,25 @@ def test_segment_bounds_equal_u():
     assert list(b) == sorted(b)
     sizes = np.diff(b)
     assert sizes.min() >= 1
+    # Inverse-depth sampling: uniform u -> exactly equal index chunks.
+    assert list(b) == [0, 4, 8, 12, 16]
     # Linear-depth sampling -> near planes (large u span) get fewer planes
     # per segment than far planes.
     d = np.linspace(2.0, 40.0, 32)
     b2 = segment_bounds_equal_u(d, 4)
     assert b2[0] == 0 and b2[-1] == 32
     assert np.diff(b2).min() >= 1
+    # The u-span of every segment is near-equal up to the grid's local u
+    # step (the first inter-plane step is the coarsest).
+    u2 = 1.0 / d
+    spans = [abs(u2[max(i1 - 1, i0)] - u2[i0]) for i0, i1 in zip(b2, b2[1:])]
+    target = abs(u2[-1] - u2[0]) / 4
+    step0 = abs(u2[1] - u2[0])
+    assert max(spans) <= target + step0
+    # Plane counts must grow toward the far end (the descending-u direction
+    # bug concentrated ~75% of the u range in segment 0).
+    sizes2 = np.diff(b2)
+    assert sizes2[-1] > sizes2[0]
 
 
 def test_resolve_backend_seg_i8():
@@ -170,3 +183,22 @@ def test_device_rectify_warp_matches_lut_warp(setup):
         rectify="lut"))
     corr = np.corrcoef(dev.ravel(), lut.ravel())[0, 1]
     assert corr > 0.9999
+
+
+def test_butterfly_matches_flat_merge(setup):
+    """Power-of-two segment counts take the butterfly merge on the pallas
+    engine; the result must stay close to the flat merge (same math, one
+    extra resample level of blur) and to the exact splat."""
+    m, ev, traj, T_rv_w, ref = setup
+    flat = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g1,ss2,seg4"))
+    bfly = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g1,ss2,seg4,bf,pl"))
+    assert np.corrcoef(flat.ravel(), bfly.ravel())[0, 1] > 0.97
+    # vote mass preserved through every butterfly level
+    assert abs(bfly.sum() / max(flat.sum(), 1) - 1) < 0.05
+    # One extra resample level adds ~sqrt(L)/ss bins of blur vs the flat
+    # merge, so the bound vs the exact splat is slightly looser (flat: 0.85)
+    # while the flat-vs-butterfly decision agreement stays tight.
+    assert _argmax_agreement(ref, bfly) > 0.80
+    assert _argmax_agreement(flat, bfly) > 0.85

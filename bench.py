@@ -89,16 +89,44 @@ def make_step(mapper, traj, T_rv_w, backend, plane_block):
     return step
 
 
-def time_step(step, dev_args, iters):
-    import jax
+_RTT = None
 
+
+def _tunnel_rtt():
+    """Dispatch + scalar-readback round trip (tunneled TPUs: ~20 ms).
+
+    block_until_ready can return before the device finishes on tunneled
+    backends, so honest timing loops N dispatches, reads one scalar of the
+    final output back (forcing completion), and subtracts this RTT once.
+    """
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        tiny = jax.jit(lambda v: v + 1.0)
+        z = jnp.zeros((8, 128))
+        float(tiny(z)[0, 0])
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(tiny(z)[0, 0])
+            samples.append(time.perf_counter() - t0)
+        _RTT = float(np.median(samples))
+    return _RTT
+
+
+def time_step(step, dev_args, iters):
     out = step(*dev_args)
-    jax.block_until_ready(out)  # warmup / compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*dev_args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    float(out[0, 0, 0])  # warmup / compile / settle
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(*dev_args)
+        float(out[0, 0, 0])  # force completion of the whole chain
+        runs.append((time.perf_counter() - t0 - _tunnel_rtt()) / iters)
+    return max(min(runs), 1e-9)
 
 
 def main():
@@ -115,21 +143,20 @@ def main():
     from dvs_mcemvs_tpu.ops.voting_hist import auto_group_size
     g = auto_group_size(0.5, N_EVENTS // PACKET, WIDTH * 0.9, 2.0, 40.0)
     candidates = []
-    for backend, plane_block in [(f"hist:g{g},seg10,pl", 10),
-                                 (f"hist:g{g},seg20,pl", 5),
-                                 (f"hist:g{g},ss2,seg10,pl", 10),
-                                 (f"hist:g{g},pl", 16),
-                                 (f"hist:g{g},i8,seg10", 10),
-                                 (f"hist:g{g},i8", 16)]:
+    for backend, plane_block in [(f"hist:g{g},seg16,bf,pl", 7),
+                                 (f"hist:g{g},seg32,bf,pl", 4),
+                                 (f"hist:g{g},ss2,seg16,bf,pl", 7),
+                                 (f"hist:g{g},seg10,pl", 10),
+                                 (f"hist:g{g},i8,seg16,bf,pl", 7)]:
         try:
             step = make_step(mapper, traj, T_rv_w, backend, plane_block)
-            dt = time_step(step, dev_args, iters=1)
+            dt = time_step(step, dev_args, iters=5)
             candidates.append((dt, backend, plane_block, step))
         except Exception:
             continue
 
     dt0, backend, plane_block, step = min(candidates, key=lambda c: c[0])
-    iters = max(2, min(10, int(5.0 / max(dt0, 1e-3))))
+    iters = max(10, min(100, int(2.0 / max(dt0, 1e-4))))
     dt = time_step(step, dev_args, iters=iters)
     mev_s = N_EVENTS / dt / 1e6
 

@@ -33,7 +33,8 @@ def config_fingerprint(flag_text: str) -> str:
     for line in flag_text.splitlines():
         key = line.split("=", 1)[0].lstrip("-")
         if key in ("out_path", "save_dsi", "save_mono", "save_conf_stats",
-                   "platform", "use_event_store", "profile_dir", "checkpoint"):
+                   "save_dense", "platform", "use_event_store", "profile_dir",
+                   "checkpoint"):
             continue
         keep.append(line)
     return hashlib.sha256("\n".join(keep).encode()).hexdigest()[:16]

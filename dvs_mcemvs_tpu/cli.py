@@ -61,18 +61,61 @@ def _build_trajectories(
 
 def _extract_and_save(
     mapper: Mapper, dsi, cfg: RunConfig, suffix: str, prefix: str,
-    opts: extract.DepthMapOptions,
+    opts: extract.DepthMapOptions, precomputed=None,
 ):
-    res = get_depth_map(mapper, dsi, opts)
+    res = precomputed if precomputed is not None else get_depth_map(mapper, dsi, opts)
     outputs.save_depth_maps(
         np.asarray(res.depth), np.asarray(res.confidence), np.asarray(res.mask),
         cfg.min_depth, cfg.max_depth, suffix, prefix)
+    if cfg.save_dense:
+        dense = extract.densify_host(res, mapper.depth_vec)
+        outputs.save_dense_depth_png(prefix + f"depth_map_dense_{suffix}.png",
+                                     dense, cfg.min_depth, cfg.max_depth)
     if cfg.save_conf_stats:
         cmin, cmax = extract.confidence_range_stats(res.confidence)
         outputs.save_conf_stats(
             os.path.join(cfg.out_path, f"conf_range_{suffix}.txt"),
             float(cmin), float(cmax))
     return res
+
+
+def _make_sharded_runner(cfg: RunConfig, mappers, backend: str, opts,
+                         n_dev: int):
+    """Compile the fused sharded chunk step and wrap it as a process
+    callable (VERDICT r1 item 2: --num_devices drives a real mesh)."""
+    from . import mapper as mappermod
+    from .parallel import make_mesh, pick_mesh_shape, sharded as shardedmod
+    from .pipeline import ProcessResult
+
+    n_event, n_plane = pick_mesh_shape(n_dev, cfg.dimZ)
+    mesh = make_mesh(n_event, n_plane)
+    spec = shardedmod.rig_spec_from_mappers(mappers)
+    scfg = shardedmod.ShardedStepConfig(
+        fusion_method=cfg.stereo_fusion, packet_size=cfg.packet_size,
+        backend=backend, plane_block=cfg.plane_block, extract_options=opts)
+    step = shardedmod.make_sharded_step(mesh, spec, scfg)
+    quantum = n_event * cfg.packet_size
+    log.info("sharded step over mesh (event=%d, plane=%d), backend %s",
+             n_event, n_plane, backend)
+
+    def run_sharded(mps, evs, trs, ts) -> ProcessResult:
+        if min(e.num for e in evs) <= cfg.packet_size:
+            raise ValueError("chunk smaller than one packet")
+        T_rv_w = pipeline.place_reference_view(trs[0], ts, cfg.rv_pos)
+        # Power-of-two capacity buckets keep the mesh step's shapes stable
+        # across full_seq chunks (same policy as VotingOptions.pad_policy).
+        cap = mappermod.bucket_capacity(max(e.num for e in evs), quantum)
+        args = shardedmod.sharded_step_inputs(
+            mps, evs, trs, T_rv_w, n_event, cfg.packet_size, capacity=cap)
+        out = step(*args)
+        res = ProcessResult(fused_dsi=out["dsi"], T_rv_w=T_rv_w, ts=ts)
+        res.extracted = extract.DepthMapResult(
+            depth=out["depth"], confidence=out["confidence"],
+            mask=out["mask"], depth_dense=None,
+            depth_indices=out["depth_indices"])
+        return res
+
+    return run_sharded
 
 
 def run(cfg: RunConfig) -> int:
@@ -145,37 +188,81 @@ def run(cfg: RunConfig) -> int:
         g = auto_group_size(chunk_travel, n_pk, float(mappers[0].vcam.fx),
                             cfg.min_depth, cfg.max_depth)
         backend = f"hist:g{g},ss2"
-        # Segment the inverse-depth sweep when there are enough planes to
-        # amortize the leaf merges; use the Pallas banded kernels on TPU.
-        segs = min(16, cfg.dimZ // 10)
-        if segs >= 2:
-            backend += f",seg{segs}"
         import jax
 
-        if jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        # The Pallas banded kernels assume sweep scale >= (2/3)/ss, i.e.
+        # the camera advances less than min_depth/3 within a chunk
+        # (kernels/resample_pallas.py); fall back to the XLA engine when
+        # the rig moves faster than that bound allows.
+        use_pl = on_tpu and chunk_travel < cfg.min_depth / 3.0
+        if on_tpu and not use_pl:
+            log.warning("chunk travel %.2f m >= min_depth/3 (%.2f m): "
+                        "Pallas sweep scale bound violated, using the XLA "
+                        "resample engine", chunk_travel, cfg.min_depth / 3.0)
+        # Segment the inverse-depth sweep when there are enough planes to
+        # amortize the leaf merges; with the Pallas engine, power-of-two
+        # segment counts take the O(G log S) butterfly merge.
+        segs = min(16, cfg.dimZ // 10)
+        if use_pl:
+            segs = 1 << max(segs.bit_length() - 1, 0)
+        if segs >= 2:
+            backend += f",seg{segs}"
+            if use_pl:
+                backend += ",bf"
+        if use_pl:
             backend += ",pl"
         log.info("auto backend: %s (chunk travel %.3f m, %d packets)",
                  backend, chunk_travel, n_pk)
     vopts = pipeline.VotingOptions(packet_size=cfg.packet_size, backend=backend,
                                    plane_block=cfg.plane_block)
 
+    # --num_devices: 0 = auto (all visible devices on TPU; 1 elsewhere,
+    # since CPU "devices" are virtual test shards), N>1 = mesh of N.
+    # The sharded step fuses warp -> voting -> psum -> fusion -> collapse ->
+    # extraction over an ("event", "plane") mesh (parallel/sharded.py).
+    sharded_runner = None
+    n_dev = cfg.num_devices
+    if n_dev == 0:
+        import jax
+
+        n_dev = len(jax.devices()) if jax.default_backend() == "tpu" else 1
+    if n_dev > 1:
+        if cfg.process_method != 1:
+            log.warning("process_method=%d is not sharded yet; running "
+                        "single-device", cfg.process_method)
+        else:
+            sharded_runner = _make_sharded_runner(cfg, mappers, backend, opts,
+                                                  n_dev)
+
     def run_process(mps, evs, trs, ts):
+        if sharded_runner is not None:
+            return sharded_runner(mps, evs, trs, ts)
         if cfg.process_method == 1:
             return pipeline.process_1(mps, evs, trs, ts, cfg.stereo_fusion,
                                       rv_pos=cfg.rv_pos, vopts=vopts)
-        if cfg.process_method == 2:
-            return pipeline.process_2(mps[:2], evs[:2], trs[:2], ts,
-                                      stereo_fusion=cfg.stereo_fusion,
-                                      temporal_fusion=cfg.temporal_fusion,
-                                      num_intervals=cfg.num_intervals,
-                                      rv_pos=cfg.rv_pos, vopts=vopts)
-        if cfg.process_method == 5:
-            return pipeline.process_5(mps[:2], evs[:2], trs[:2], ts,
-                                      stereo_fusion=cfg.stereo_fusion,
-                                      temporal_fusion=cfg.temporal_fusion,
-                                      num_intervals=cfg.num_intervals,
-                                      rv_pos=cfg.rv_pos, vopts=vopts)
-        raise ValueError(f"process_method must be 1, 2 or 5, got {cfg.process_method}")
+        if cfg.process_method not in (2, 5):
+            raise ValueError(
+                f"process_method must be 1, 2 or 5, got {cfg.process_method}")
+
+        on_sub = None
+        if not cfg.full_seq:
+            # Per-sub-interval depth maps, left/right per camera
+            # (process2.cpp:122-127 and the right-camera twin): suffixes
+            # 0_{k:03d} / 1_{k:03d} under the run's timestamp prefix.
+            prefix = outputs.timestamp_prefix(cfg.out_path, ts)
+
+            def on_sub(k, dsis):
+                for c in range(2):
+                    _extract_and_save(mps[0], dsis[f"camera{c}"], cfg,
+                                      f"{c}_{k:03d}", prefix, opts)
+
+        fn = pipeline.process_2 if cfg.process_method == 2 else pipeline.process_5
+        return fn(mps[:2], evs[:2], trs[:2], ts,
+                  stereo_fusion=cfg.stereo_fusion,
+                  temporal_fusion=cfg.temporal_fusion,
+                  num_intervals=cfg.num_intervals,
+                  rv_pos=cfg.rv_pos, vopts=vopts, on_subinterval=on_sub)
 
     flag_text = config_to_flagfile(cfg)
     with open(os.path.join(cfg.out_path, "run_flags.conf"), "w") as f:
@@ -236,7 +323,16 @@ def _run_configured(cfg, rig, mappers, events, trajs, opts, run_process,
         def save_chunk(k: int, ts: float, res) -> None:
             nonlocal n_chunks
             prefix = outputs.timestamp_prefix(cfg.out_path, ts)
-            _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix, opts)
+            _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix,
+                              opts, precomputed=res.extracted)
+            # Temporal algorithms also write the converse-order (time-then-
+            # camera) map every chunk (process2.cpp:299-300; the left/right
+            # per-camera maps are skipped in full_sequence mode, :255-263).
+            if "camera_time" in res.dsis:
+                _extract_and_save(
+                    mappers[0], res.dsis["camera_time"], cfg,
+                    f"stereo_temporal_camera_time{cfg.temporal_fusion}",
+                    prefix, opts)
             if cfg.save_dsi:
                 outputs.write_dsi_npy(prefix + "dsi_fused.npy",
                                       np.asarray(res.fused_dsi))
@@ -263,13 +359,39 @@ def _run_configured(cfg, rig, mappers, events, trajs, opts, run_process,
     res = run_process(mappers, events, trajs, ts)
     prefix = outputs.timestamp_prefix(cfg.out_path, ts)
 
-    dm = _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix, opts)
+    dm = _extract_and_save(mappers[0], res.fused_dsi, cfg, "fused", prefix,
+                           opts, precomputed=res.extracted)
+    if cfg.process_method in (2, 5):
+        # Reference artifact set of the temporal algorithms
+        # (process2.cpp:255-263,299-300): per-camera temporal fusions, the
+        # primary camera-then-time map under its reference name, and the
+        # converse time-then-camera fusion order.
+        tf = cfg.temporal_fusion
+        _extract_and_save(mappers[0], res.dsis["left_temporal"], cfg,
+                          f"left_temporal_{tf}", prefix, opts)
+        _extract_and_save(mappers[0], res.dsis["right_temporal"], cfg,
+                          f"right_temporal_{tf}", prefix, opts)
+        _extract_and_save(mappers[0], res.fused_dsi, cfg,
+                          f"stereo_temporal_{tf}", prefix, opts,
+                          precomputed=res.extracted)
+        _extract_and_save(mappers[0], res.dsis["camera_time"], cfg,
+                          f"stereo_temporal_camera_time{tf}", prefix, opts)
     if cfg.save_dsi:
         outputs.write_dsi_npy(os.path.join(cfg.out_path, "dsi_fused.npy"),
                               np.asarray(res.fused_dsi))
+        # process_2/5 DSI dumps carry the reference's names
+        # (process2.cpp:291-297).
+        ref_names = {"left_temporal": "fused_0_temporalfusion",
+                     "right_temporal": "fused_1_temporalfusion",
+                     "camera_time": "stereo_temporalfusion_camera_time"}
         for name, d in res.dsis.items():
-            outputs.write_dsi_npy(os.path.join(cfg.out_path, f"dsi_{name}.npy"),
-                                  np.asarray(d))
+            outputs.write_dsi_npy(
+                os.path.join(cfg.out_path, f"dsi_{ref_names.get(name, name)}.npy"),
+                np.asarray(d))
+        if cfg.process_method in (2, 5):
+            outputs.write_dsi_npy(
+                os.path.join(cfg.out_path, "dsi_stereo_temporalfusion.npy"),
+                np.asarray(res.fused_dsi))
     if cfg.save_mono:
         for name, d in res.dsis.items():
             if name.startswith("camera"):

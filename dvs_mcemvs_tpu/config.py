@@ -64,6 +64,9 @@ class RunConfig:
     median_filter_size: int = 5
     save_mono: bool = False
     save_dsi: bool = False
+    # Telea-inpainted dense depth map (the reference computes it on every
+    # extraction, mapper_emvs_stereo.cpp:429-436; --nosave_dense skips it).
+    save_dense: bool = True
 
     # Point cloud (main.cpp:80-82)
     radius_search: float = 0.05

@@ -52,6 +52,73 @@ def _finalize(x, y, t, p, offset: float, t_start: float, t_stop: float,
     )
 
 
+def _h5_bisect(t_ds, raw: float, lo: int, hi: int) -> int:
+    """First index in [lo, hi) with t >= raw, via O(log E) single-element
+    dataset reads (never materializes the column)."""
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if float(t_ds[mid]) < raw:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def _h5_window(g, f, t_start: float, t_stop: float, offset: float,
+               origin: Optional[TimeOrigin]):
+    """Index range [lo, hi) of the requested normalized-time window,
+    touching O(window) + O(log E) elements of the t column.
+
+    Uses the DSEC `ms_to_idx` table when present (ms_to_idx[ms] = first
+    index with t >= ms*1000 µs, t relative to t_offset — the lookup the
+    reference never had; its loop re-parses whole bags per window,
+    main.cpp:191-199) and falls back to bisection on the t dataset.
+    """
+    t_ds = g["t"]
+    n = int(t_ds.shape[0])
+    if n == 0:
+        return 0, 0, 0.0, 1.0
+    t_offset = float(f["t_offset"][()]) if "t_offset" in f else 0.0
+    integer_us = np.issubdtype(t_ds.dtype, np.integer)
+    scale = 1e-6 if integer_us else 1.0
+    shift = t_offset * 1e-6 if integer_us else 0.0
+
+    def phys(raw):  # stored value -> absolute seconds
+        return float(raw) * scale + shift
+
+    # The window is expressed in the same frame _finalize crops in: the
+    # run origin when one is threaded through, raw time otherwise.
+    if origin is None:
+        t0 = 0.0
+    elif origin.t0 is not None:
+        t0 = origin.t0
+    else:
+        t0 = phys(t_ds[0]) + offset
+    raw_lo = (max(t_start, 0.0) + t0 - offset - shift) / scale
+    raw_hi = (t_stop + t0 - offset - shift) / scale
+    if t_stop >= 1e18:
+        raw_hi = np.inf
+
+    lo, hi = 0, n
+    ms2idx = f["ms_to_idx"] if "ms_to_idx" in f else (
+        g["ms_to_idx"] if "ms_to_idx" in g else None)
+    if ms2idx is not None and integer_us and np.isfinite(raw_hi):
+        m = int(ms2idx.shape[0])
+        # ms_to_idx is indexed by raw stored time in ms (DSEC convention).
+        ms_lo = int(np.clip(raw_lo // 1000, 0, m - 1))
+        ms_hi = int(raw_hi // 1000 + 1)
+        lo = int(ms2idx[ms_lo])
+        hi = int(ms2idx[ms_hi]) if ms_hi < m else n
+        # the table is coarse (1 ms): exact crop happens in _finalize
+        return lo, min(hi, n), t0, scale
+    if raw_lo > -np.inf:
+        lo = _h5_bisect(t_ds, raw_lo, 0, n)
+    if np.isfinite(raw_hi):
+        hi = _h5_bisect(t_ds, raw_hi + 1.0 * (1.0 if integer_us else 1e-9),
+                        lo, n)
+    return lo, hi, t0, scale
+
+
 def read_events_h5(
     path: str,
     t_start: float = 0.0,
@@ -62,6 +129,11 @@ def read_events_h5(
 ) -> Events:
     """DSEC / TUM-VIE HDF5 events: datasets {x, y, t, p} under `group`
     (or at the file root), with optional `t_offset` (µs) and `ms_to_idx`.
+
+    Reads are WINDOWED: only the [t_start, t_stop] index range is loaded
+    (ms_to_idx lookup or O(log E) bisection on the t column), so hour-scale
+    DSEC files (1e9+ events) cost O(window) memory per chunk instead of a
+    full-file materialization.
 
     Timestamps stored as integer microseconds are converted to float seconds.
     DSEC files are blosc-compressed; reading them needs `hdf5plugin`, which is
@@ -78,15 +150,24 @@ def read_events_h5(
         g = f[group] if group in f else f
         t_offset = float(f["t_offset"][()]) if "t_offset" in f else 0.0
         try:
-            t = np.asarray(g["t"])
+            lo, hi, _, _ = _h5_window(g, f, t_start, t_stop, offset, origin)
+            t = np.asarray(g["t"][lo:hi])
         except OSError as e:  # pragma: no cover - depends on codec presence
             raise OSError(
                 f"cannot decode {path}: DSEC event files are blosc-compressed "
                 "and need the hdf5plugin package"
             ) from e
-        x = np.asarray(g["x"])
-        y = np.asarray(g["y"])
-        p = np.asarray(g["p"]) if "p" in g else None
+        x = np.asarray(g["x"][lo:hi])
+        y = np.asarray(g["y"][lo:hi])
+        p = np.asarray(g["p"][lo:hi]) if "p" in g else None
+        if lo > 0 and origin is not None and origin.t0 is None:
+            # The window skipped the stream head; the run origin is still
+            # the FILE's first timestamp (data_loading.cpp:30-31 semantics).
+            t0_raw = np.asarray(g["t"][0:1])
+            if np.issubdtype(t0_raw.dtype, np.integer):
+                origin.t0 = float((t0_raw[0] + t_offset) * 1e-6 + offset)
+            else:
+                origin.t0 = float(t0_raw[0] + offset)
     if np.issubdtype(t.dtype, np.integer):
         t = (t.astype(np.float64) + t_offset) * 1e-6
     return _finalize(x, y, t, p, offset, t_start, t_stop, origin)
@@ -136,28 +217,11 @@ def read_events_rosbag(
     origin: Optional[TimeOrigin] = None,
 ) -> Events:
     """dvs_msgs/EventArray rosbag reader (parity with
-    data_loading.cpp:221-302) via the pure-python `rosbags` package; kept
-    behind an import gate since bags are a legacy input here."""
-    try:
-        from rosbags.highlevel import AnyReader
-        from pathlib import Path
-    except ImportError as e:
-        raise ImportError(
-            "rosbag ingest needs the 'rosbags' package; convert the bag to "
-            "h5/npz instead (scripts/convert_events.py)"
-        ) from e
-    xs, ys, ts, ps = [], [], [], []
-    with AnyReader([Path(path)]) as reader:
-        conns = [c for c in reader.connections if c.topic == topic]
-        for conn, _, raw in reader.messages(connections=conns):
-            msg = reader.deserialize(raw, conn.msgtype)
-            for ev in msg.events:
-                xs.append(ev.x)
-                ys.append(ev.y)
-                ts.append(ev.ts.sec + 1e-9 * ev.ts.nanosec)
-                ps.append(1 if ev.polarity else 0)
-    return _finalize(np.asarray(xs), np.asarray(ys), np.asarray(ts),
-                     np.asarray(ps), offset, t_start, t_stop, origin)
+    data_loading.cpp:221-302) via the native ROS1 parser (io/rosbag1.py)."""
+    from . import rosbag1
+
+    x, y, t, p = rosbag1.read_event_bag(path, topic)
+    return _finalize(x, y, t, p, offset, t_start, t_stop, origin)
 
 
 READERS = {

@@ -136,3 +136,17 @@ def save_conf_stats(path: str, cmin: float, cmax: float, append: bool = True) ->
     mode = "a" if append else "w"
     with open(path, mode) as f:
         f.write(f"{cmin} {cmax}\n")
+
+
+def save_dense_depth_png(path: str, depth_dense: np.ndarray,
+                         min_depth: float, max_depth: float) -> None:
+    """Normalized 8-bit PNG of the Telea-inpainted dense depth map.
+
+    The reference computes this map on every extraction
+    (mapper_emvs_stereo.cpp:429-436) but its save path is commented out
+    (utils.cpp:96-104); here the artifact is actually written.
+    """
+    d = np.asarray(depth_dense, np.float32)
+    span = max(max_depth - min_depth, 1e-9)
+    img = np.clip((d - min_depth) * (255.0 / span), 0, 255).astype(np.uint8)
+    _imwrite(path, img)

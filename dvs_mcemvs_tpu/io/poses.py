@@ -69,37 +69,11 @@ def read_poses_rosbag(
     origin: Optional[TimeOrigin] = None,
 ) -> trajmod.Trajectory:
     """Pose rosbag reader covering the four message types of
-    data_loading.cpp:334-463; gated on the pure-python `rosbags` package."""
-    try:
-        from pathlib import Path
+    data_loading.cpp:334-463, via the native ROS1 parser (io/rosbag1.py)."""
+    from . import rosbag1
 
-        from rosbags.highlevel import AnyReader
-    except ImportError as e:
-        raise ImportError(
-            "rosbag ingest needs the 'rosbags' package; convert the bag to "
-            "TUM txt / npz instead"
-        ) from e
-    ts, qs, ps = [], [], []
-    with AnyReader([Path(path)]) as reader:
-        conns = [c for c in reader.connections if c.topic == topic]
-        for conn, stamp_ns, raw in reader.messages(connections=conns):
-            msg = reader.deserialize(raw, conn.msgtype)
-            pose = msg
-            for attr in ("pose", "pose", "transform"):  # unwrap nested msgs
-                if hasattr(pose, attr):
-                    pose = getattr(pose, attr)
-            if hasattr(pose, "position"):
-                pos, ori = pose.position, pose.orientation
-            elif hasattr(pose, "translation"):
-                pos, ori = pose.translation, pose.rotation
-            else:
-                continue
-            header_t = getattr(getattr(msg, "header", None), "stamp", None)
-            t = (header_t.sec + 1e-9 * header_t.nanosec) if header_t is not None else stamp_ns * 1e-9
-            ts.append(t)
-            qs.append([ori.w, ori.x, ori.y, ori.z])
-            ps.append([pos.x, pos.y, pos.z])
-    return _build(np.asarray(ts), np.asarray(qs), np.asarray(ps), t_start, t_stop, origin)
+    ts, qs, ps = rosbag1.read_pose_bag(path, topic)
+    return _build(ts, qs, ps, t_start, t_stop, origin)
 
 
 def read_poses(path: str, topic: str = "", **kwargs) -> trajmod.Trajectory:

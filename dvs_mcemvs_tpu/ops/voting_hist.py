@@ -456,6 +456,7 @@ def splat_hist(
     bin_dtype=None,
     engine: str = "xla",
     merge_mode: str = "flat",
+    corr_u_mid=None,
 ) -> jnp.ndarray:
     """Vote all packets into a (Z, H, W) DSI by histogram + affine resample.
 
@@ -492,7 +493,11 @@ def splat_hist(
     Z = depths.shape[0]
 
     u_all = 1.0 / jnp.asarray(depths)
-    u_mid = 0.5 * (jnp.min(u_all) + jnp.max(u_all))
+    # `corr_u_mid` overrides the correction midpoint — plane-sharded runs
+    # pass the GLOBAL sweep midpoint so every shard bins identically and
+    # the sharded DSI matches the single-device one bit-near.
+    u_mid = 0.5 * (jnp.min(u_all) + jnp.max(u_all)) \
+        if corr_u_mid is None else corr_u_mid
     corr = (z0, fx, fy, cx, cy, u_mid) if correct else None
     hist, centers = build_group_histograms(
         packets, group_size, hs, ws, pad_x, pad_y, ss,
@@ -500,6 +505,14 @@ def splat_hist(
         correction=corr, engine=engine)
     hist = hist.astype(dtype)
 
+    if segments > 1:
+        # Plane-sharded runs sweep small z-blocks: clamp the segment count
+        # to the planes actually present (butterfly stays a power of two).
+        eff = min(segments, Z)
+        if merge_mode == "butterfly":
+            eff = 1 << (eff.bit_length() - 1)
+        if eff != segments:
+            segments, seg_bounds = eff, None
     if segments > 1:
         if seg_bounds is None:
             bounds = [round(s * Z / segments) for s in range(segments + 1)]

@@ -133,6 +133,13 @@ def _local_step(
     local_depths = jax.lax.dynamic_slice(depths, (pi * zblock,), (zblock,))
 
     splat = voting.resolve_backend(cfg.backend)
+    splat_kw = {}
+    if cfg.backend.startswith("hist"):
+        # Global correction midpoint: every plane shard bins events with the
+        # same first-order sweep correction, so the plane-sharded grid
+        # equals the single-device one (not just approximates it).
+        u_full = 1.0 / depths
+        splat_kw["corr_u_mid"] = 0.5 * (jnp.min(u_full) + jnp.max(u_full))
     dsis = []
     for c in range(spec.n_cameras):
         traj = trajmod.Trajectory(traj_ts[c], SE3(traj_q[c], traj_t[c]))
@@ -143,7 +150,7 @@ def _local_step(
         )
         dsi_c = splat(
             packets, local_depths, spec.z0, spec.vcam_params,
-            spec.width, spec.height, plane_block=cfg.plane_block,
+            spec.width, spec.height, plane_block=cfg.plane_block, **splat_kw,
         )
         # Exact reconstruction of the single-device grid: voting is linear in
         # events, so partial grids sum (DSI additivity, SURVEY.md §4).

@@ -65,6 +65,9 @@ class ProcessResult:
     dsis: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
     timings: Dict[str, float] = dataclasses.field(default_factory=dict)
     mev_per_s: Optional[float] = None
+    # Pre-extracted depth map (extract.DepthMapResult) when the producer
+    # already ran the extraction chain on-device (the sharded mesh step).
+    extracted: Optional[object] = None
 
 
 def place_reference_view(

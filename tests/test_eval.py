@@ -1,5 +1,7 @@
 """Evaluation suite: metric golden values and the DSEC reprojection protocol."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -114,3 +116,44 @@ def test_evaluate_sequence():
     assert out["frames"] == 2
     assert out["mean_err"] == pytest.approx(0.1, rel=1e-6)
     assert out["metrics"].count == 2 * H * W
+
+
+def test_evaluate_dsec_driver(tmp_path):
+    """The runnable eval driver turns a run dir + GT folder into metrics
+    (parity with evaluate_mcemvs_dsec.py's walk/match/consolidate flow)."""
+    import json
+    import subprocess
+    import sys
+
+    run = tmp_path / "run"
+    gt = tmp_path / "gt"
+    run.mkdir(); gt.mkdir()
+    rng = np.random.default_rng(0)
+    H, W = 24, 32
+    gt_times_us = []
+    for k, t in enumerate([0.5, 1.5, 2.5]):
+        depth = rng.uniform(2.0, 5.0, (H, W))
+        ys, xs = np.nonzero(rng.random((H, W)) < 0.3)
+        est = depth[ys, xs] + rng.normal(0, 0.05, ys.size)  # noisy estimate
+        pts = np.stack([xs, ys, est], 1)
+        np.savetxt(run / f"{t:013.9f}depth_points_fused.txt", pts)
+        np.save(gt / f"{k:06d}.npy", depth)
+        gt_times_us.append(t * 1e6)
+    # one unmatched GT frame far in time
+    gt_times_us.append(50e6)
+    np.save(gt / "000003.npy", np.ones((H, W)))
+    ts_file = tmp_path / "ts.txt"
+    np.savetxt(ts_file, np.asarray(gt_times_us))
+
+    out = subprocess.run(
+        [sys.executable, "scripts/evaluate_dsec.py",
+         "--run_dir", str(run), "--gt_timestamps", str(ts_file),
+         "--gt_depth_npy_dir", str(gt), "--width", str(W), "--height", str(H),
+         "--fx", "100.0"],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["frames_evaluated"] == 3
+    assert rep["mean_err"] < 0.1
+    assert 0.9 < rep["delta1"] <= 1.0

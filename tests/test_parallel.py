@@ -50,7 +50,10 @@ def _reference_dsi(mappers, events, trajs, T_rv_w):
         evs_shard.append(ev.slice(0, n * PACKET))
     res = pipeline.process_1(
         mappers, evs_single, list(trajs), 0.5, stereo_fusion=2,
-        vopts=pipeline.VotingOptions(packet_size=PACKET),
+        # pad_policy="none" keeps the reference drop-tail semantics this
+        # comparison is built around (bucket padding would vote the +1
+        # event the sharded buffer doesn't contain).
+        vopts=pipeline.VotingOptions(packet_size=PACKET, pad_policy="none"),
     )
     return np.asarray(res.fused_dsi), evs_shard
 
@@ -108,3 +111,65 @@ def test_padding_weights_are_inert(rig_setup):
         capacity=n + 3 * PACKET)
     out_padded = np.asarray(step(*args_padded)["dsi"])
     np.testing.assert_array_equal(out_exact, out_padded)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (1, 8), (2, 4)])
+def test_sharded_hist_backend_matches_single_device(rig_setup, mesh_shape):
+    """The production (MXU histogram) voting backend under shard_map: with
+    g1 leaves (exact grouping) and a global correction midpoint, the
+    sharded DSI reproduces the 1-device DSI up to float reassociation."""
+    mappers, events, trajs, T_rv_w = rig_setup
+    evs = [ev.slice(0, (ev.num // PACKET) * PACKET) for ev in events]
+
+    spec = sharded.rig_spec_from_mappers(mappers)
+    cfg = sharded.ShardedStepConfig(fusion_method=2, packet_size=PACKET,
+                                    backend="hist:g1,ss2")
+
+    ref_step = sharded.make_sharded_step(make_mesh(1, 1), spec, cfg)
+    ref_args = sharded.sharded_step_inputs(mappers, evs, list(trajs),
+                                           T_rv_w, 1, PACKET)
+    ref = ref_step(*ref_args)
+
+    ne, npl = mesh_shape
+    step = sharded.make_sharded_step(make_mesh(ne, npl), spec, cfg)
+    args = sharded.sharded_step_inputs(mappers, evs, list(trajs),
+                                       T_rv_w, ne, PACKET)
+    out = step(*args)
+    np.testing.assert_allclose(np.asarray(out["dsi"]), np.asarray(ref["dsi"]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out["depth_indices"]),
+                                  np.asarray(ref["depth_indices"]))
+
+
+def test_sharded_hist_pallas_backend(rig_setup):
+    """The full production spec — grouped leaves, supersample, segmented
+    butterfly merge, Pallas kernels (interpret off-TPU) — runs under
+    shard_map and agrees with its own 1-device run."""
+    mappers, events, trajs, T_rv_w = rig_setup
+    evs = [ev.slice(0, (ev.num // PACKET) * PACKET) for ev in events]
+
+    spec = sharded.rig_spec_from_mappers(mappers)
+    cfg = sharded.ShardedStepConfig(fusion_method=2, packet_size=PACKET,
+                                    backend="hist:g4,ss2,seg4,bf,pl")
+    ref = sharded.make_sharded_step(make_mesh(1, 1), spec, cfg)(
+        *sharded.sharded_step_inputs(mappers, evs, list(trajs), T_rv_w,
+                                     1, PACKET))
+    out = sharded.make_sharded_step(make_mesh(2, 4), spec, cfg)(
+        *sharded.sharded_step_inputs(mappers, evs, list(trajs), T_rv_w,
+                                     2, PACKET))
+    a, b = np.asarray(ref["dsi"]), np.asarray(out["dsi"])
+    # Plane shards re-segment their z-blocks (seg4 over 4-plane blocks vs
+    # seg4 over the full 16), so the merge approximation differs by blur:
+    # structural agreement + matching depth decisions, exact mass.
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9
+    assert abs(b.sum() / a.sum() - 1) < 2e-2
+    # Depth decisions on CONFIDENT pixels (background argmax is noise).
+    # Both meshes sit at the same distance from the exact scatter DSI
+    # (0.48 within +-1 plane each on this deliberately coarse fixture), so
+    # the residual here is the backend's own grouping/segment approximation,
+    # not a sharding artifact; the mesh-vs-mesh gate is +-2 planes.
+    conf = np.asarray(ref["confidence"])
+    sel = conf > np.quantile(conf, 0.8)
+    di_ref = np.asarray(ref["depth_indices"])[sel].astype(int)
+    di_out = np.asarray(out["depth_indices"])[sel].astype(int)
+    assert np.mean(np.abs(di_ref - di_out) <= 2) > 0.9

@@ -190,16 +190,13 @@ def run(cfg: RunConfig) -> int:
         backend = f"hist:g{g},ss2"
         import jax
 
-        on_tpu = jax.default_backend() == "tpu"
-        # The Pallas banded kernels assume sweep scale >= (2/3)/ss, i.e.
-        # the camera advances less than min_depth/3 within a chunk
-        # (kernels/resample_pallas.py); fall back to the XLA engine when
-        # the rig moves faster than that bound allows.
-        use_pl = on_tpu and chunk_travel < cfg.min_depth / 3.0
-        if on_tpu and not use_pl:
-            log.warning("chunk travel %.2f m >= min_depth/3 (%.2f m): "
-                        "Pallas sweep scale bound violated, using the XLA "
-                        "resample engine", chunk_travel, cfg.min_depth / 3.0)
+        use_pl = jax.default_backend() == "tpu"
+        if use_pl and chunk_travel >= cfg.min_depth / 3.0:
+            # Sweep scales dip below the banded kernel's single-strip fast
+            # path; it stays exact (multi-strip) but runs extra band
+            # matmuls per plane.
+            log.info("chunk travel %.2f m >= min_depth/3: Pallas sweep "
+                     "runs multi-strip bands", chunk_travel)
         # Segment the inverse-depth sweep when there are enough planes to
         # amortize the leaf merges; with the Pallas engine, power-of-two
         # segment counts take the O(G log S) butterfly merge.

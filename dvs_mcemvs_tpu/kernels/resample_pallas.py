@@ -13,9 +13,10 @@ This kernel exploits the bandedness: an affine map sends an output tile of
 TV rows to a CONTIGUOUS input band of ~TV/s + margin rows, so each output
 tile needs one small (QV x TV) tap matrix built in VMEM (fused, never in
 HBM) and one narrow matmul against a dynamically sliced band of the
-histogram.  Scale must satisfy s >= TV / (TV + margin - 2) or the band is
-clipped (callers pick margin from the map's scale range; sweep scales are
-z0*(zi - Cz)/(zi*(z0 - Cz)) ~ 1).
+histogram.  Maps whose scale drops below `scale_min` (band wider than one
+block) tile their band into disjoint absolute strips with a predicated,
+data-dependent strip count — exact for ANY scale; `scale_min` only sets
+the single-strip fast path (sweep scales z0*(zi - Cz)/(zi*(z0 - Cz)) ~ 1).
 
 Grid: (N, K) with K innermost; the (1, Ho, Wo) output block stays resident
 in VMEM and accumulates across the K inner resamples (the reference's
@@ -62,59 +63,93 @@ def _kernel(src_ref, sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
     inv_sy = 1.0 / sy
     inv_sx = 1.0 / sx
 
+    # Maps whose scale dips below scale_min need an input band wider than
+    # one QV/QU block: the band is tiled into DISJOINT absolute strips and
+    # the strip count is data-dependent (predicated, 1 for in-bound scales).
+    # Strip sums partition the exact result for ANY scale — no silent vote
+    # loss (strips the clip forces to overlap are masked to their nominal
+    # range, so nothing double-counts).
+    max_by = -(-hs // QV)
+    max_bx = -(-ws // QU)
+
     # --- y stage: resy[v, :] = sum_q hat(q*sy + ty - v) * hist[q, :] ------
     n_vt = -(-Ho // TV)
     for vt in range(n_vt):
         v0 = min(vt * TV, Ho - TV)  # tail tile overlaps by recompute
-        q_lo_f = (v0 - ty) * inv_sy - 0.5 * (QV - TV * inv_sy)
-        q_lo = jnp.floor(q_lo_f).astype(jnp.int32)
-        # Clip BEFORE aligning: Mosaic must be able to prove the dynamic
-        # start is 8-aligned, so the floordiv-mul must be the last op.
-        q_lo = (jnp.clip(q_lo, 0, hs - QV) // 8) * 8
-        qq = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 0).astype(
-            jnp.float32) + q_lo.astype(jnp.float32)
-        vv = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 1).astype(
-            jnp.float32) + float(v0)
-        taps = jnp.maximum(0.0, 1.0 - jnp.abs(qq * sy + ty - vv))
-        band = hist_ref[0, pl.ds(q_lo, QV), :]
-        resy[pl.ds(v0, TV), :] = jax.lax.dot_general(
-            taps.astype(acc_dtype), band.astype(acc_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # input rows with nonzero taps: ((v0-1-ty)/sy, (v0+TV-ty)/sy)
+        q_start = jnp.floor((v0 - 1 - ty) * inv_sy).astype(jnp.int32)
+        q_start = jnp.clip(q_start, 0, hs - 1)
+        q_start = (q_start // 8) * 8
+        q_end = jnp.ceil((v0 + TV - ty) * inv_sy).astype(jnp.int32) + 1
+        q_end = jnp.clip(q_end, q_start + 1, hs)
+        n_by = (q_end - q_start + QV - 1) // QV
+
+        resy[pl.ds(v0, TV), :] = jnp.zeros((TV, resy.shape[1]),
+                                           jnp.float32)
+        for b in range(max_by):
+            @pl.when(b < n_by)
+            def _():
+                q_nom = q_start + b * QV  # 8-aligned by construction
+                # Clip the READ start; mask re-read rows of earlier strips.
+                q_lo = jnp.minimum(q_nom, hs - QV)
+                q_lo = pl.multiple_of((q_lo // 8) * 8, 8)
+                qq = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 0) + q_lo
+                valid = qq >= q_nom
+                qf = qq.astype(jnp.float32)
+                vv = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 1).astype(
+                    jnp.float32) + float(v0)
+                taps = jnp.maximum(0.0, 1.0 - jnp.abs(qf * sy + ty - vv))
+                taps = jnp.where(valid, taps, 0.0)
+                band = hist_ref[0, pl.ds(q_lo, QV), :]
+                resy[pl.ds(v0, TV), :] += jax.lax.dot_general(
+                    taps.astype(acc_dtype), band.astype(acc_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     # --- x stage: out[:, u] += sum_p hat(p*sx + tx - u) * resy[:, p] ------
+    tgt = out_ref if acc is None else acc
+
+    @pl.when(k == 0)
+    def _():
+        if acc is None:
+            tgt[0, :, :] = jnp.zeros((Ho, Wo), jnp.float32)
+        else:
+            tgt[:, :] = jnp.zeros((Ho, Wo), jnp.float32)
+
     for ut in range(Wo // TU):
         u0 = ut * TU
-        p_lo_f = (u0 - tx) * inv_sx - 0.5 * (QU - 128 - TU * inv_sx)
-        p_lo = jnp.floor(p_lo_f).astype(jnp.int32)
-        p_lo = (jnp.clip(p_lo, 0, ws - QU) // 128) * 128  # provably aligned
-        pp = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 0).astype(
-            jnp.float32) + p_lo.astype(jnp.float32)
-        uu = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 1).astype(
-            jnp.float32) + float(u0)
-        taps = jnp.maximum(0.0, 1.0 - jnp.abs(pp * sx + tx - uu))
-        band = resy[:, pl.ds(p_lo, QU)]
-        xt = jax.lax.dot_general(
-            band.astype(acc_dtype), taps.astype(acc_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        p_start = jnp.floor((u0 - 1 - tx) * inv_sx).astype(jnp.int32)
+        p_start = jnp.clip(p_start, 0, ws - 1)
+        p_start = (p_start // 128) * 128
+        p_end = jnp.ceil((u0 + TU - tx) * inv_sx).astype(jnp.int32) + 1
+        p_end = jnp.clip(p_end, p_start + 1, ws)
+        n_bx = (p_end - p_start + QU - 1) // QU
 
-        tgt = out_ref if acc is None else acc
         idx = (0, slice(None), pl.ds(u0, TU)) if acc is None \
             else (slice(None), pl.ds(u0, TU))
-
-        @pl.when(k == 0)
-        def _():
-            tgt[idx] = xt
-
-        @pl.when(k > 0)
-        def _():
-            tgt[idx] += xt
-
-        if acc is not None:
-            @pl.when(k == K - 1)
+        for b in range(max_bx):
+            @pl.when(b < n_bx)
             def _():
-                out_ref[0, :, pl.ds(u0, TU)] = tgt[idx].astype(out_ref.dtype)
+                p_nom = p_start + b * QU
+                p_lo = jnp.minimum(p_nom, ws - QU)
+                p_lo = pl.multiple_of((p_lo // 128) * 128, 128)
+                pp = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 0) + p_lo
+                valid = pp >= p_nom
+                pf = pp.astype(jnp.float32)
+                uu = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 1).astype(
+                    jnp.float32) + float(u0)
+                taps = jnp.maximum(0.0, 1.0 - jnp.abs(pf * sx + tx - uu))
+                taps = jnp.where(valid, taps, 0.0)
+                band = resy[:, pl.ds(p_lo, QU)]
+                tgt[idx] += jax.lax.dot_general(
+                    band.astype(acc_dtype), taps.astype(acc_dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+    if acc is not None:
+        @pl.when(k == K - 1)
+        def _():
+            out_ref[0, :, :] = acc[:, :].astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -151,18 +186,20 @@ def banded_resample_sum(
     materialize duplicated inputs.  Returns (N, out_h, out_w) in
     `out_dtype` (default float32; accumulation is f32 either way).
 
-    `scale_min` is the caller's static lower bound on every map's scale; a
-    TV-row output tile reads a TV/scale_min (+slack) input band.  Maps with
-    scale below the bound get their band CLIPPED (silent vote loss) — the
-    voting callers bound geometric sweep scales by 2/3 (camera advancing
-    less than min_depth/3 within a chunk) over the supersample factor.
+    `scale_min` is a PERFORMANCE hint: maps with scale >= scale_min resolve
+    each output tile with a single TV/scale_min-row band matmul; smaller
+    scales loop over extra disjoint band strips (predicated) and stay
+    exact.  The voting callers' sweep scales are >= 2/3 per supersample
+    unit whenever the camera advances less than min_depth/3 in a chunk.
 
-    ws and out_w must be multiples of 128; use interpret=True off-TPU.
+    ws and out_w must be multiples of 128, hs of 8; interpret=True off-TPU.
     """
     G, hs, ws = hist.shape
     N, K = sy.shape
     if ws % 128 or out_w % 128:
         raise ValueError(f"ws ({ws}) and out_w ({out_w}) must be 128-multiples")
+    if hs % 8:
+        raise ValueError(f"hs ({hs}) must be an 8-multiple")
     if src is None:
         if blocked and G != N * K:
             raise ValueError(f"blocked mode needs G == N*K, got {G} != {N}*{K}")
@@ -181,10 +218,13 @@ def banded_resample_sum(
 
     TV = _pick_tile(out_h, tile_v, 8)
     TU = _pick_tile(out_w, tile_u, 128)
+    # Band blocks: sized so maps with scale >= scale_min fit in ONE strip
+    # (wider bands just run more strips — exact either way).  Strip starts
+    # stay 8-/128-aligned because QV/QU are themselves aligned.
     qv = int(np.ceil(TV / scale_min)) + 24
-    QV = min(hs - hs % 8, qv + (-qv % 8))
-    qu = int(np.ceil(TU / scale_min)) + 24 + 128  # +128 lane-align slack
-    QU = min(ws, qu + (-qu % 8))
+    QV = min(hs, qv + (-qv % 8))
+    qu = int(np.ceil(TU / scale_min)) + 24
+    QU = min(ws, qu + (-qu % 128))
     acc_dtype = hist.dtype if hist.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
 

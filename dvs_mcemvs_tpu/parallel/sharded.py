@@ -226,6 +226,95 @@ def make_sharded_step(
     )
 
 
+def pad_events_local(
+    events: Sequence[Events],
+    local_quantum: int,
+    local_capacity: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-process variant of `pad_events_for_sharding`: pad THIS process's
+    slice of the stream to a multiple of `local_quantum` (= local event
+    shards x packet size).  Weight-0 padding as in the global variant."""
+    max_e = max(ev.num for ev in events)
+    if local_capacity is not None:
+        if local_capacity < max_e:
+            raise ValueError(
+                f"local capacity {local_capacity} < largest stream {max_e}")
+        max_e = local_capacity
+    e_pad = int(-(-max(max_e, 1) // local_quantum) * local_quantum)
+    ncam = len(events)
+    x = np.zeros((ncam, e_pad), np.int32)
+    y = np.zeros((ncam, e_pad), np.int32)
+    t = np.zeros((ncam, e_pad), np.float32)
+    w = np.zeros((ncam, e_pad), np.float32)
+    for c, ev in enumerate(events):
+        n = ev.num
+        x[c, :n] = ev.x
+        y[c, :n] = ev.y
+        t[c, :n] = ev.t
+        w[c, :n] = 1.0
+        t[c, n:] = ev.t[-1] if n else 0.0
+    return x, y, t, w
+
+
+def sharded_step_inputs_multihost(
+    mesh: Mesh,
+    mappers: Sequence[Mapper],
+    local_events: Sequence[Events],
+    trajs: Sequence[trajmod.Trajectory],
+    T_rv_w: SE3,
+    packet_size: int = voting.DEFAULT_PACKET_SIZE,
+    local_capacity: Optional[int] = None,
+):
+    """Multi-host assembly of the sharded-step arguments.
+
+    Each process passes only ITS slice of the event stream (`local_events`
+    — e.g. the [p/P, (p+1)/P) fraction of the chunk's time window for
+    process p of P); no process ever materializes the global stream.  The
+    event-sharded buffers become global `jax.Array`s via
+    `jax.make_array_from_process_local_data`, so device shards are fed
+    straight from process-local host memory — the multi-host replacement
+    for the reference's single-process rosbag re-reads
+    (reference: mapper_emvs_stereo/src/main.cpp:191-199).
+
+    Pose tables / LUTs / calibration are tiny, computed identically on
+    every process from the same files, and replicated.
+
+    When `local_capacity` is None the processes agree on a common local pad
+    via a `process_allgather` max (one tiny collective per call); pass an
+    explicit capacity in streaming loops to keep jit shapes stable with
+    zero collectives.
+    """
+    nproc = jax.process_count()
+    n_event = mesh.shape[EVENT_AXIS]
+    if n_event % nproc != 0:
+        raise ValueError(
+            f"event shards {n_event} not divisible by processes {nproc}")
+    local_quantum = (n_event // nproc) * packet_size
+
+    if local_capacity is None and nproc > 1:
+        from jax.experimental import multihost_utils
+        local_max = max(ev.num for ev in local_events)
+        all_max = multihost_utils.process_allgather(
+            np.asarray([local_max], np.int64))
+        local_capacity = int(np.max(all_max))
+
+    x, y, t, w = pad_events_local(local_events, local_quantum, local_capacity)
+
+    ev_sh = NamedSharding(mesh, P(None, EVENT_AXIS))
+    rep_sh = NamedSharding(mesh, P())
+
+    def glob(a, sh):
+        return jax.make_array_from_process_local_data(sh, np.ascontiguousarray(a))
+
+    (_, _, _, _, traj_ts, traj_q, traj_t, rv_q, rv_t, lut, K_cam, Kv_inv,
+     depths) = sharded_step_inputs(mappers, local_events, trajs, T_rv_w,
+                                   1, packet_size)
+    return (glob(x, ev_sh), glob(y, ev_sh), glob(t, ev_sh), glob(w, ev_sh),
+            glob(traj_ts, rep_sh), glob(traj_q, rep_sh), glob(traj_t, rep_sh),
+            glob(rv_q, rep_sh), glob(rv_t, rep_sh), glob(lut, rep_sh),
+            glob(K_cam, rep_sh), glob(Kv_inv, rep_sh), glob(depths, rep_sh))
+
+
 def sharded_step_inputs(
     mappers: Sequence[Mapper],
     events: Sequence[Events],

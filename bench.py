@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -152,9 +153,18 @@ def main():
             step = make_step(mapper, traj, T_rv_w, backend, plane_block)
             dt = time_step(step, dev_args, iters=5)
             candidates.append((dt, backend, plane_block, step))
-        except Exception:
-            continue
+        except Exception as e:
+            # A broken candidate must be visible (a regression that breaks
+            # every spec would otherwise die as an opaque empty-min).
+            import traceback
+            print(f"bench candidate {backend!r} failed: {e!r}",
+                  file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
 
+    if not candidates:
+        raise RuntimeError(
+            "every bench candidate failed — see stderr for per-candidate "
+            "tracebacks")
     dt0, backend, plane_block, step = min(candidates, key=lambda c: c[0])
     iters = max(10, min(100, int(2.0 / max(dt0, 1e-4))))
     dt = time_step(step, dev_args, iters=iters)

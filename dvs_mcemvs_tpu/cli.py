@@ -98,6 +98,8 @@ def _make_sharded_runner(cfg: RunConfig, mappers, backend: str, opts,
     log.info("sharded step over mesh (event=%d, plane=%d), backend %s",
              n_event, n_plane, backend)
 
+    import time as _time
+
     def run_sharded(mps, evs, trs, ts) -> ProcessResult:
         if min(e.num for e in evs) <= cfg.packet_size:
             raise ValueError("chunk smaller than one packet")
@@ -105,14 +107,23 @@ def _make_sharded_runner(cfg: RunConfig, mappers, backend: str, opts,
         # Power-of-two capacity buckets keep the mesh step's shapes stable
         # across full_seq chunks (same policy as VotingOptions.pad_policy).
         cap = mappermod.bucket_capacity(max(e.num for e in evs), quantum)
+        t0 = _time.time()
         args = shardedmod.sharded_step_inputs(
             mps, evs, trs, T_rv_w, n_event, cfg.packet_size, capacity=cap)
         out = step(*args)
-        res = ProcessResult(fused_dsi=out["dsi"], T_rv_w=T_rv_w, ts=ts)
+        dt = _time.time() - t0  # host prep + dispatch (device may run ahead)
+        n_ev = sum(e.num for e in evs)
+        res = ProcessResult(
+            fused_dsi=out["dsi"], T_rv_w=T_rv_w, ts=ts,
+            timings={"sharded_dispatch_s": dt},
+            mev_per_s=(n_ev / dt / 1e6) if dt > 0 else None)
         res.extracted = extract.DepthMapResult(
             depth=out["depth"], confidence=out["confidence"],
             mask=out["mask"], depth_dense=None,
             depth_indices=out["depth_indices"])
+        log.info("sharded chunk: %d events, %.3f s dispatch, %.1f Mev/s "
+                 "(dispatch-bound; device overlaps)", n_ev, dt,
+                 res.mev_per_s or 0.0)
         return res
 
     return run_sharded

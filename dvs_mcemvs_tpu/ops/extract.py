@@ -230,18 +230,29 @@ def densify_host(result: DepthMapResult, depth_vec: DepthVector) -> np.ndarray:
     """Telea inpainting of the filtered depth indices (cpp:429-432).
 
     Host-side (OpenCV), off the hot path; returns dense metric depth.
+
+    The reference inpaints uint8 indices (its dimZ <= 256 storage artifact,
+    main.cpp:156); this framework advertises no such cap (config.py dimZ
+    note), so for dimZ > 256 the indices are inpainted as 32F — same Telea
+    algorithm, no wraparound — and rounded back to cell indices.
     """
-    idx = np.asarray(result.depth_indices).astype(np.uint8)
+    idx_raw = np.asarray(result.depth_indices)
     mask = np.asarray(result.mask).astype(np.uint8)
+    depths = depth_vec.depths()
+    n_planes = len(depths)
     try:
         import cv2
     except ImportError:  # pragma: no cover - cv2 is available in CI images
-        depths = depth_vec.depths()
-        return depths[idx]
+        return depths[np.clip(idx_raw, 0, n_planes - 1)]
     inpaint_mask = (1 - mask).astype(np.uint8)
-    inpainted = cv2.inpaint(idx, inpaint_mask, 3, cv2.INPAINT_TELEA)
-    depths = depth_vec.depths()
-    return depths[np.clip(inpainted, 0, len(depths) - 1)]
+    if n_planes <= 256:
+        # uint8 path: bit parity with the reference's 8U inpaint.
+        inpainted = cv2.inpaint(idx_raw.astype(np.uint8), inpaint_mask, 3,
+                                cv2.INPAINT_TELEA)
+    else:
+        inpainted = np.rint(cv2.inpaint(idx_raw.astype(np.float32),
+                                        inpaint_mask, 3, cv2.INPAINT_TELEA))
+    return depths[np.clip(inpainted.astype(np.int64), 0, n_planes - 1)]
 
 
 def confidence_range_stats(confidence: jnp.ndarray):

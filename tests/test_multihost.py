@@ -44,10 +44,25 @@ def test_two_process_matches_single_process(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    # Poll both children against one shared deadline: if either exits
+    # non-zero (e.g. 42 = backend unavailable) its peer may be blocked on
+    # the coordinator barrier forever — kill it instead of waiting out the
+    # full timeout.
+    import time
+    deadline = time.time() + 600
+    while any(p.poll() is None for p in procs) and time.time() < deadline:
+        if any(p.poll() not in (None, 0) for p in procs):
+            break
+        time.sleep(0.2)
+    if any(p.poll() is None for p in procs):  # failed peer or deadline
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    outs = [p.communicate(timeout=60) for p in procs]
     for p, (so, se) in zip(procs, outs):
         if p.returncode == 42:
             pytest.skip(f"jax.distributed backend unavailable: {se[-300:]}")
+    for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"child failed:\n{so[-2000:]}\n{se[-4000:]}"
     assert out_path.exists()
     got = np.load(out_path)

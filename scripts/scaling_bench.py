@@ -38,7 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WIDTH, HEIGHT, DIM_Z = 320, 240, 64
 N_EVENTS = 262_144
 PACKET = 512
-BACKEND = "hist:g16,seg8,bf"  # pure-XLA spec (Pallas interpret is not timing-honest on CPU)
+# Pure-XLA spec: the butterfly merge ("bf") needs the Pallas engine, whose
+# CPU interpreter is not timing-honest, so the scaling measurement uses the
+# flat segmented merge — the collective/padding overhead being measured is
+# identical either way (the splat is per-shard-local).
+BACKEND = "hist:g16,seg8"
 
 
 def build():
@@ -116,6 +120,12 @@ def main():
         print(f"mesh ({ne},{npl}): {dt*1e3:8.1f} ms/step  "
               f"overhead {dt / t_base - 1.0:+.1%}", file=sys.stderr)
 
+    # The multi-HOST mesh axis is "event" (its only cross-shard communication
+    # is the final grid psum, DCN-tolerant; "plane" stays intra-host on ICI
+    # and duplicates the event binning per shard by design).  The two-host
+    # efficiency floor is therefore the (2,1) row's.
+    two_host = next(r for r in rows if r["mesh"] == [2, 1])
+    eight_way = next(r for r in rows if r["mesh"] == [8, 1])
     report = {
         "protocol": "fixed workload, shared-core virtual devices: ideal "
                     "sharded time == 1-device time; slowdown == sharding "
@@ -126,6 +136,16 @@ def main():
         "host_cores": os.cpu_count(),
         "results": rows,
         "target": {"two_host_weak_scaling_efficiency": 0.8},
+        "summary": {
+            "two_host_efficiency_floor":
+                two_host["projected_efficiency_floor"],
+            "eight_shard_efficiency_floor":
+                eight_way["projected_efficiency_floor"],
+            "meets_target": two_host["projected_efficiency_floor"] >= 0.8,
+            "note": "multi-host axis is 'event' (grid psum only); 'plane' "
+                    "shards duplicate event binning per shard, so they are "
+                    "kept intra-host and capped by pick_mesh_shape",
+        },
     }
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")

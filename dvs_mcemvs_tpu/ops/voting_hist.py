@@ -650,6 +650,37 @@ def auto_group_size(
     return 1 << min(int(g).bit_length() - 1, 10)
 
 
+def auto_backend_spec(
+    chunk_travel_m: float,
+    n_packets: int,
+    fx: float,
+    min_depth: float,
+    max_depth: float,
+    dim_z: int,
+    use_pallas: bool,
+) -> str:
+    """The production backend spec the CLI auto-selects (one definition so
+    the CLI, the benchmark, and the golden accuracy gates all exercise the
+    same path): MXU histogram voting with a travel-bounded group size, 2x
+    supersampling, an inverse-depth-segmented sweep, and — on TPU — the
+    Pallas engine with the O(G log S) butterfly merge."""
+    g = auto_group_size(chunk_travel_m, n_packets, fx, min_depth, max_depth)
+    spec = f"hist:g{g},ss2"
+    # Segment the inverse-depth sweep when there are enough planes to
+    # amortize the leaf merges; with the Pallas engine, power-of-two
+    # segment counts take the O(G log S) butterfly merge.
+    segs = min(16, dim_z // 10)
+    if use_pallas:
+        segs = 1 << max(segs.bit_length() - 1, 0)
+    if segs >= 2:
+        spec += f",seg{segs}"
+        if use_pallas:
+            spec += ",bf"
+    if use_pallas:
+        spec += ",pl"
+    return spec
+
+
 def make_hist_backend(group_size: int = 32, supersample: int = 1,
                       pad_x: int = 128, pad_y: int = 32,
                       dtype=jnp.bfloat16, correct: bool = True,

@@ -1,0 +1,145 @@
+"""Golden accuracy gates: the committed exact-scatter artifacts anchor the
+production voting spec and the 8-device sharded run inside an explicit
+error budget (utils/golden.py BUDGET) — the executable stand-in for
+BASELINE.md's "depth error within 5 % of reference on DSEC zurich_city"
+target.  Regenerate artifacts with scripts/make_golden.py (deterministic).
+
+Reference protocol being stood in for:
+mapper_emvs_stereo/scripts/evaluate_mcemvs_dsec.py:43-141.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from dvs_mcemvs_tpu import pipeline
+from dvs_mcemvs_tpu.mapper import get_depth_map
+from dvs_mcemvs_tpu.ops import extract
+from dvs_mcemvs_tpu.utils import golden
+
+BUDGET = golden.BUDGET
+# Inverse-depth plane step (for index-space error measured in planes).
+DU = (1 / golden.MIN_DEPTH - 1 / golden.MAX_DEPTH) / (golden.DIM_Z - 1)
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    mappers, events, trajs, scene, ts_rv = golden.build_golden_fixture()
+    g = np.load(golden.GOLDEN_NPZ)
+    meta = json.loads(str(g["meta"]))
+    assert meta["seed"] == golden.SEED, "golden artifacts are stale"
+    assert meta["events"] == [e.num for e in events], (
+        "fixture drifted from the committed golden — re-run "
+        "scripts/make_golden.py")
+    return mappers, events, trajs, scene, ts_rv, g
+
+
+@pytest.fixture(scope="module")
+def production_run(fixture):
+    """The exact spec cli.py's auto path selects, on one device."""
+    mappers, events, trajs, scene, ts_rv, g = fixture
+    spec = golden.production_backend_spec(events, 1024, use_pallas=False)
+    vopts = pipeline.VotingOptions(packet_size=1024, backend=spec,
+                                   pad_policy="bucket")
+    res = pipeline.process_1(mappers, events, trajs, ts_rv,
+                             stereo_fusion=2, vopts=vopts)
+    dm = get_depth_map(mappers[0], res.fused_dsi, extract.DepthMapOptions())
+    return spec, res, dm
+
+
+def _index_gates(hi, g, label):
+    gi = np.asarray(g["depth_indices"]).astype(int)
+    conf = np.asarray(g["confidence"])
+    sel = conf > np.quantile(conf, BUDGET["confident_quantile"])
+    ei = np.abs(hi[sel] - gi[sel])
+    w1 = float(np.mean(ei <= 1))
+    w2 = float(np.mean(ei <= 2))
+    med = float(np.median(ei))
+    assert w1 >= BUDGET["frac_within_1_plane"], f"{label}: within1={w1}"
+    assert w2 >= BUDGET["frac_within_2_planes"], f"{label}: within2={w2}"
+    assert med <= BUDGET["median_err_planes"], f"{label}: median={med}"
+
+
+def _gt_gate(dm, scene, label):
+    m = np.asarray(dm.mask) > 0
+    d = np.asarray(dm.depth)[m]
+    gt = scene.gt_depth[m]
+    rel = float(np.median(np.abs(d - gt) / gt))
+    assert rel < BUDGET["gt_median_rel_err"], f"{label}: median rel {rel}"
+
+
+def test_golden_artifact_matches_analytic_gt(fixture):
+    """The committed golden itself must sit on the analytic ground truth
+    (median within half a plane) — guards against committing a broken
+    anchor."""
+    _, _, _, scene, _, g = fixture
+    m = np.asarray(g["mask"]) > 0
+    d = np.asarray(g["depth"])[m]
+    gt = scene.gt_depth[m]
+    ep = np.abs(1 / d - 1 / gt) / DU
+    assert float(np.median(ep)) <= BUDGET["golden_gt_median_planes"]
+    rel = float(np.median(np.abs(d - gt) / gt))
+    assert rel < BUDGET["gt_median_rel_err"]
+    assert m.sum() > 20_000  # meaningful semi-dense support
+
+
+def test_production_spec_within_budget(fixture, production_run):
+    """cli.py's auto-selected histogram spec vs the exact-scatter golden:
+    depth decisions inside the plane budget, per-camera vote mass conserved,
+    and the metric accuracy target met."""
+    mappers, events, trajs, scene, ts_rv, g = fixture
+    spec, res, dm = production_run
+    _index_gates(np.asarray(dm.depth_indices).astype(int), g,
+                 f"production {spec}")
+    cam_mass = np.asarray(g["cam_mass"])
+    for c in range(2):
+        mass = float(np.asarray(res.dsis[f"camera{c}"], np.float64).sum())
+        rel = abs(mass / cam_mass[c] - 1)
+        assert rel < BUDGET["per_camera_mass_rel"], f"cam{c} mass off {rel}"
+    _gt_gate(dm, scene, f"production {spec}")
+
+
+def test_sharded_production_within_budget(fixture, production_run):
+    """The 8-device mesh run of the SAME production spec: inside the golden
+    budget, and close to its own unsharded run (plane shards re-segment
+    their z-blocks, so sub-plane drift is expected; whole-plane agreement
+    must stay high)."""
+    from dvs_mcemvs_tpu.parallel import make_mesh, pick_mesh_shape, sharded
+
+    mappers, events, trajs, scene, ts_rv, g = fixture
+    spec, _, dm_prod = production_run
+
+    ne, npl = pick_mesh_shape(8, golden.DIM_Z)
+    mesh = make_mesh(ne, npl)
+    rig = sharded.rig_spec_from_mappers(mappers)
+    cfg = sharded.ShardedStepConfig(fusion_method=2, packet_size=1024,
+                                    backend=spec)
+    step = sharded.make_sharded_step(mesh, rig, cfg)
+    T_rv_w = pipeline.place_reference_view(trajs[0], ts_rv)
+    args = sharded.sharded_step_inputs(mappers, events, trajs, T_rv_w,
+                                       ne, 1024)
+    out = step(*args)
+
+    hi = np.asarray(out["depth_indices"]).astype(int)
+    _index_gates(hi, g, f"sharded({ne},{npl}) {spec}")
+
+    # Mesh vs unsharded production: plane shards re-segment their z-blocks
+    # FINER (Z/n_plane planes per block, same segment count), so the mesh
+    # run is the more accurate of the two — both pass the golden budget
+    # above — but their blur patterns differ on tie pixels, so agreement
+    # between them is bounded, not exact (measured within1 = 0.85).
+    pi = np.asarray(dm_prod.depth_indices).astype(int)
+    conf = np.asarray(g["confidence"])
+    sel = conf > np.quantile(conf, BUDGET["confident_quantile"])
+    ei = np.abs(hi[sel] - pi[sel])
+    assert float(np.mean(ei <= 1)) >= 0.8, f"mesh-vs-1dev within1 {np.mean(ei <= 1)}"
+    assert float(np.mean(ei <= 2)) >= 0.9, f"mesh-vs-1dev within2 {np.mean(ei <= 2)}"
+    assert float(np.median(ei)) == 0.0
+
+    depths = np.asarray(mappers[0].depth_vec.depths())
+    d = depths[np.clip(hi, 0, len(depths) - 1)]
+    m = np.asarray(out["mask"]) > 0
+    rel = float(np.median(np.abs(d[m] - scene.gt_depth[m])
+                          / scene.gt_depth[m]))
+    assert rel < BUDGET["gt_median_rel_err"]

@@ -158,18 +158,20 @@ def test_sharded_hist_pallas_backend(rig_setup):
         *sharded.sharded_step_inputs(mappers, evs, list(trajs), T_rv_w,
                                      2, PACKET))
     a, b = np.asarray(ref["dsi"]), np.asarray(out["dsi"])
-    # Plane shards re-segment their z-blocks (seg4 over 4-plane blocks vs
-    # seg4 over the full 16), so the merge approximation differs by blur:
-    # structural agreement + matching depth decisions, exact mass.
+    # Plane shards re-segment their z-blocks FINER (seg4 over 4-plane blocks
+    # vs seg4 over the full 16 — smaller u-span per segment, so the mesh run
+    # is the more accurate one); the gates below are the golden-budget shape
+    # (utils/golden.BUDGET) at measured-with-margin values for this coarse
+    # fixture (measured 2026-08: corr 0.917, mass 0.994, within1 0.842,
+    # within2 0.926, median 1).  Production-scale gating lives in
+    # tests/test_golden.py.
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9
-    assert abs(b.sum() / a.sum() - 1) < 2e-2
-    # Depth decisions on CONFIDENT pixels (background argmax is noise).
-    # Both meshes sit at the same distance from the exact scatter DSI
-    # (0.48 within +-1 plane each on this deliberately coarse fixture), so
-    # the residual here is the backend's own grouping/segment approximation,
-    # not a sharding artifact; the mesh-vs-mesh gate is +-2 planes.
+    assert abs(b.sum() / a.sum() - 1) < 1e-2
     conf = np.asarray(ref["confidence"])
     sel = conf > np.quantile(conf, 0.8)
     di_ref = np.asarray(ref["depth_indices"])[sel].astype(int)
     di_out = np.asarray(out["depth_indices"])[sel].astype(int)
-    assert np.mean(np.abs(di_ref - di_out) <= 2) > 0.9
+    ei = np.abs(di_ref - di_out)
+    assert np.mean(ei <= 1) >= 0.8
+    assert np.mean(ei <= 2) >= 0.9
+    assert np.median(ei) <= 1.0

@@ -129,7 +129,109 @@ def _make_sharded_runner(cfg: RunConfig, mappers, backend: str, opts,
     return run_sharded
 
 
+def _make_multihost_runner(cfg: RunConfig, mappers, backend: str, opts):
+    """Multi-process chunk runner: a global ("event", "plane") mesh over all
+    processes' devices, each process feeding only ITS slice of the chunk's
+    event stream (`sharded_step_inputs_multihost`).
+
+    The launch path the reference never had (it is single-process by
+    construction, SURVEY.md §5 distributed-backend row): every process runs
+    the same CLI with the same flags plus `--process_id`, and the depth
+    decision comes back replicated on every process.
+
+    Slicing policy: each camera's chunk is cut into process_count
+    quantum-aligned slices (quantum = local event shards x packet size);
+    the sub-quantum global tail is dropped (<= P x quantum events, the
+    multi-process analog of the reference's drop-tail packetization,
+    mapper_emvs_stereo.cpp:88).  Alignment keeps every process's padding at
+    the global stream end, so the run is bit-equal (up to psum
+    reassociation) to a single-process run over the same truncated stream.
+    """
+    import jax
+
+    from . import mapper as mappermod
+    from .parallel import mesh as meshmod, sharded as shardedmod
+    from .pipeline import ProcessResult
+
+    mesh = meshmod.global_mesh(cfg.dimZ)
+    n_event = mesh.shape[meshmod.EVENT_AXIS]
+    n_plane = mesh.shape[meshmod.PLANE_AXIS]
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    if n_event % pcnt != 0:
+        raise ValueError(
+            f"event shards {n_event} not divisible by {pcnt} processes")
+    quantum = (n_event // pcnt) * cfg.packet_size
+    spec = shardedmod.rig_spec_from_mappers(mappers)
+    scfg = shardedmod.ShardedStepConfig(
+        fusion_method=cfg.stereo_fusion, packet_size=cfg.packet_size,
+        backend=backend, plane_block=cfg.plane_block, extract_options=opts)
+    step = shardedmod.make_sharded_step(mesh, spec, scfg)
+    log.info("multihost step: process %d/%d, mesh (event=%d, plane=%d), "
+             "backend %s", pidx, pcnt, n_event, n_plane, backend)
+
+    import time as _time
+
+    def run_multihost(mps, evs, trs, ts) -> ProcessResult:
+        if min(e.num for e in evs) < pcnt * quantum:
+            raise ValueError("chunk smaller than one quantum per process")
+        T_rv_w = pipeline.place_reference_view(trs[0], ts, cfg.rv_pos)
+        local = []
+        for ev in evs:
+            per = (ev.num // (pcnt * quantum)) * quantum
+            local.append(ev.slice(pidx * per, (pidx + 1) * per))
+        # Common power-of-two capacity so jit shapes stay stable across
+        # chunks AND across processes (slices are equal-sized by
+        # construction, so no allgather is needed).
+        cap = mappermod.bucket_capacity(max(e.num for e in local), quantum)
+        t0 = _time.time()
+        args = shardedmod.sharded_step_inputs_multihost(
+            mesh, mps, local, trs, T_rv_w, cfg.packet_size,
+            local_capacity=cap)
+        out = step(*args)
+        dt = _time.time() - t0
+        n_ev = sum(e.num for e in local) * pcnt
+        res = ProcessResult(
+            fused_dsi=out["dsi"], T_rv_w=T_rv_w, ts=ts,
+            timings={"multihost_dispatch_s": dt},
+            mev_per_s=(n_ev / dt / 1e6) if dt > 0 else None)
+        res.extracted = extract.DepthMapResult(
+            depth=_np_local(out["depth"]), confidence=_np_local(out["confidence"]),
+            mask=_np_local(out["mask"]), depth_dense=None,
+            depth_indices=_np_local(out["depth_indices"]))
+        log.info("multihost chunk: %d events global, %.3f s, %.1f Mev/s",
+                 n_ev, dt, res.mev_per_s or 0.0)
+        return res
+
+    return run_multihost
+
+
+def _np_local(arr):
+    """Materialize a replicated global jax.Array from this process's own
+    shards (np.asarray on a non-fully-addressable array raises)."""
+    try:
+        return np.asarray(arr)
+    except Exception:
+        return np.asarray(arr.addressable_shards[0].data)
+
+
 def run(cfg: RunConfig) -> int:
+    multihost = False
+    if cfg.coordinator or cfg.num_processes > 0 or cfg.process_id >= 0:
+        from .parallel.mesh import init_distributed
+
+        pidx, pcnt = init_distributed(
+            cfg.coordinator or None,
+            cfg.num_processes or None,
+            cfg.process_id if cfg.process_id >= 0 else None)
+        multihost = pcnt > 1
+        if multihost and pidx != 0:
+            # Every process computes; process 0's artifacts are canonical.
+            # Non-zero processes write to a scratch dir to avoid file races.
+            import tempfile
+
+            cfg.out_path = tempfile.mkdtemp(prefix=f"emvs_proc{pidx}_")
+            log.info("process %d/%d: outputs redirected to %s",
+                     pidx, pcnt, cfg.out_path)
     os.makedirs(cfg.out_path or ".", exist_ok=True)
     rig = calibmod.load_calibration(cfg.calib_type, cfg.calib_path, cfg.mocap_calib_path)
 
@@ -147,16 +249,45 @@ def run(cfg: RunConfig) -> int:
     # (main.cpp:201); event files are windowed.
     pose_traj = posesmod.read_poses(cfg.bag_filename_pose, topic=cfg.pose_topic,
                                     origin=origin)
+
+    # Bounded-memory ingest: full_seq runs over HDF5 inputs never
+    # materialize the stream — the .evs cache next to the source is
+    # stream-built in O(chunk) memory (io/evstore.write_store_streaming) and
+    # every window afterwards is an mmap'd O(log E) lookup.  The reference
+    # re-parses whole bags per chunk instead (main.cpp:191-199).
+    stream_ok = cfg.full_seq and cfg.use_event_store and not multihost
+
+    def _open_source(path: str, topic: str, offset: float):
+        if stream_ok and os.path.splitext(path)[1].lower() in (".h5", ".hdf5"):
+            try:
+                from .io import evstore
+
+                store = evstore.NormalizedStore(
+                    evstore.open_or_build_h5(path), offset, origin)
+                log.info("streaming event store for %s: %d events",
+                         path, store.count)
+                return store
+            except Exception as e:
+                log.warning("streaming store unavailable for %s (%s); "
+                            "loading in RAM", path, e)
+        return _load_events(cfg, path, topic, offset, origin,
+                            cfg.start_time_s, cfg.stop_time_s)
+
     log.info("Loading events")
-    ev0 = _load_events(cfg, cfg.bag_filename_left, cfg.event_topic0,
-                       cfg.offset0, origin, cfg.start_time_s, cfg.stop_time_s)
-    ev1 = _load_events(cfg, cfg.bag_filename_right, cfg.event_topic1,
-                       cfg.offset1, origin, cfg.start_time_s, cfg.stop_time_s)
-    events = [ev0, ev1]
+    events = [
+        _open_source(cfg.bag_filename_left, cfg.event_topic0, cfg.offset0),
+        _open_source(cfg.bag_filename_right, cfg.event_topic1, cfg.offset1),
+    ]
     if trinocular:
-        events.append(_load_events(cfg, cfg.bag_filename, cfg.event_topic2,
-                                   cfg.offset2, origin, cfg.start_time_s, cfg.stop_time_s))
-    log.info("Events: %s", [e.num for e in events])
+        events.append(_open_source(cfg.bag_filename, cfg.event_topic2,
+                                   cfg.offset2))
+
+    def _count(src) -> int:
+        if isinstance(src, Events):
+            return src.num
+        return src.window_count(cfg.start_time_s, cfg.stop_time_s)
+
+    log.info("Events: %s", [_count(s) for s in events])
 
     trajs = _build_trajectories(pose_traj, rig, n_cams)
 
@@ -165,8 +296,11 @@ def run(cfg: RunConfig) -> int:
     mappers = [make_mapper(rig.cams[i], shape, cfg.depth_sampling)
                for i in range(n_cams)]
 
-    # Event-accumulation previews (main.cpp:336-349).
-    for i, ev in enumerate(events):
+    # Event-accumulation previews (main.cpp:336-349); stores contribute a
+    # bounded head slice instead of the whole stream.
+    for i, src in enumerate(events):
+        ev = src if isinstance(src, Events) else src.head(
+            1_000_000, cfg.start_time_s, cfg.stop_time_s)
         outputs.save_events_png(
             os.path.join(cfg.out_path, f"events_{i}.png"), ev,
             rig.cams[i].width, rig.cams[i].height)
@@ -184,8 +318,9 @@ def run(cfg: RunConfig) -> int:
     backend = cfg.splat_backend
     if backend == "auto":
         # Pick the MXU histogram backend with a grouping bounded by the rig's
-        # actual travel over one chunk (voting_hist.auto_group_size).
-        from .ops.voting_hist import auto_group_size
+        # actual travel over one chunk (voting_hist.auto_backend_spec — the
+        # same selection the benchmark and golden accuracy gates exercise).
+        from .ops.voting_hist import auto_backend_spec
 
         pos = np.asarray(trajs[0].poses.t)
         span = cfg.duration if cfg.full_seq else (cfg.stop_time_s - cfg.start_time_s)
@@ -195,10 +330,16 @@ def run(cfg: RunConfig) -> int:
         span = min(span, total_t) if total_t > 0 else span
         travel = float(np.linalg.norm(np.diff(pos, axis=0), axis=1).sum())
         chunk_travel = travel * (span / total_t if total_t > 0 else 1.0)
-        n_pk = max(1, min(e.num for e in events) // cfg.packet_size)
-        g = auto_group_size(chunk_travel, n_pk, float(mappers[0].vcam.fx),
-                            cfg.min_depth, cfg.max_depth)
-        backend = f"hist:g{g},ss2"
+        n_min = min(_count(s) for s in events)
+        if cfg.full_seq:
+            # Grouping must be sized to a CHUNK's packet count, not the
+            # whole range's (auto_group_size pairs travel and packets over
+            # the same window).
+            whole = cfg.stop_time_s - cfg.start_time_s
+            if total_t > 0:
+                whole = min(whole, total_t)
+            n_min = max(1, int(n_min * (span / max(whole, span))))
+        n_pk = max(1, n_min // cfg.packet_size)
         import jax
 
         use_pl = jax.default_backend() == "tpu"
@@ -208,18 +349,10 @@ def run(cfg: RunConfig) -> int:
             # matmuls per plane.
             log.info("chunk travel %.2f m >= min_depth/3: Pallas sweep "
                      "runs multi-strip bands", chunk_travel)
-        # Segment the inverse-depth sweep when there are enough planes to
-        # amortize the leaf merges; with the Pallas engine, power-of-two
-        # segment counts take the O(G log S) butterfly merge.
-        segs = min(16, cfg.dimZ // 10)
-        if use_pl:
-            segs = 1 << max(segs.bit_length() - 1, 0)
-        if segs >= 2:
-            backend += f",seg{segs}"
-            if use_pl:
-                backend += ",bf"
-        if use_pl:
-            backend += ",pl"
+        backend = auto_backend_spec(chunk_travel, n_pk,
+                                    float(mappers[0].vcam.fx),
+                                    cfg.min_depth, cfg.max_depth, cfg.dimZ,
+                                    use_pl)
         log.info("auto backend: %s (chunk travel %.3f m, %d packets)",
                  backend, chunk_travel, n_pk)
     vopts = pipeline.VotingOptions(packet_size=cfg.packet_size, backend=backend,
@@ -230,12 +363,17 @@ def run(cfg: RunConfig) -> int:
     # The sharded step fuses warp -> voting -> psum -> fusion -> collapse ->
     # extraction over an ("event", "plane") mesh (parallel/sharded.py).
     sharded_runner = None
+    if multihost:
+        if cfg.process_method != 1:
+            raise ValueError("multi-process runs support process_method=1 "
+                             "(temporal algorithms shard on one host)")
+        sharded_runner = _make_multihost_runner(cfg, mappers, backend, opts)
     n_dev = cfg.num_devices
     if n_dev == 0:
         import jax
 
         n_dev = len(jax.devices()) if jax.default_backend() == "tpu" else 1
-    if n_dev > 1:
+    if sharded_runner is None and n_dev > 1:
         if cfg.process_method != 1:
             log.warning("process_method=%d is not sharded yet; running "
                         "single-device", cfg.process_method)
@@ -309,23 +447,39 @@ def _run_configured(cfg, rig, mappers, events, trajs, opts, run_process,
             os.path.join(cfg.out_path, "checkpoint.json"),
             fingerprint=config_fingerprint(flag_text),
             enabled=cfg.checkpoint)
-        runner = pipeline.run_full_seq(mappers, events, trajs, fopts,
-                                       run_process, skip=ckpt.is_done)
-        if cfg.use_event_store:
-            try:
-                from .io import evstore
+        from .mapper import Events as _Events
 
-                stores = []
-                for i, ev in enumerate(events):
-                    path = os.path.join(cfg.out_path, f".events_{i}.evs")
-                    evstore.write_store(path, ev)
-                    stores.append(evstore.EventStore(path))
-                runner = pipeline.run_full_seq_stores(
-                    mappers, stores, trajs, fopts, run_process,
-                    skip=ckpt.is_done)
-                log.info("full_seq: native event store + prefetch enabled")
-            except Exception as e:  # no toolchain: keep the numpy path
-                log.warning("native event store unavailable (%s)", e)
+        if all(not isinstance(s, _Events) for s in events):
+            # Streaming ingest already produced stores (bounded memory —
+            # the whole range was never materialized).
+            runner = pipeline.run_full_seq_stores(
+                mappers, events, trajs, fopts, run_process,
+                skip=ckpt.is_done)
+            log.info("full_seq: streaming event stores + prefetch")
+        else:
+            # In-RAM sources: materialize any store windows, then (toolchain
+            # permitting) rewrite into local stores for mmap windows +
+            # prefetch.
+            events = [s if isinstance(s, _Events)
+                      else s.window(cfg.start_time_s, cfg.stop_time_s)
+                      for s in events]
+            runner = pipeline.run_full_seq(mappers, events, trajs, fopts,
+                                           run_process, skip=ckpt.is_done)
+            if cfg.use_event_store:
+                try:
+                    from .io import evstore
+
+                    stores = []
+                    for i, ev in enumerate(events):
+                        path = os.path.join(cfg.out_path, f".events_{i}.evs")
+                        evstore.write_store(path, ev)
+                        stores.append(evstore.EventStore(path))
+                    runner = pipeline.run_full_seq_stores(
+                        mappers, stores, trajs, fopts, run_process,
+                        skip=ckpt.is_done)
+                    log.info("full_seq: native event store + prefetch enabled")
+                except Exception as e:  # no toolchain: keep the numpy path
+                    log.warning("native event store unavailable (%s)", e)
         n_chunks = 0
 
         def save_chunk(k: int, ts: float, res) -> None:

@@ -101,6 +101,13 @@ class RunConfig:
     save_pointcloud: bool = True
     checkpoint: bool = True               # full_seq chunk ledger + resume
     profile_dir: str = ""                 # jax.profiler trace output dir
+    # Multi-process launch (jax.distributed): every process runs the same
+    # CLI with the same flags plus its own --process_id.  Empty coordinator
+    # with num_processes=0 = single-process (or cluster auto-detection when
+    # the environment provides it).
+    coordinator: str = ""                 # host:port of process 0
+    num_processes: int = 0                # total process count (0 = auto)
+    process_id: int = -1                  # this process's index (-1 = auto)
 
     def resolved_ts(self) -> float:
         if self.ts is not None:

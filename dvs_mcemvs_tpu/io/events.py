@@ -94,7 +94,12 @@ def _h5_window(g, f, t_start: float, t_stop: float, offset: float,
         t0 = origin.t0
     else:
         t0 = phys(t_ds[0]) + offset
-    raw_lo = (max(t_start, 0.0) + t0 - offset - shift) / scale
+    # Half-tick guard: the float round-trip (raw -> seconds -> raw) can land
+    # a hair ABOVE the true boundary timestamp and silently drop head
+    # events; over-inclusive bounds are safe because _finalize crops
+    # exactly.
+    eps = 0.5 if integer_us else 1e-9
+    raw_lo = (max(t_start, 0.0) + t0 - offset - shift) / scale - eps
     raw_hi = (t_stop + t0 - offset - shift) / scale
     if t_stop >= 1e18:
         raw_hi = np.inf
@@ -171,6 +176,60 @@ def read_events_h5(
     if np.issubdtype(t.dtype, np.integer):
         t = (t.astype(np.float64) + t_offset) * 1e-6
     return _finalize(x, y, t, p, offset, t_start, t_stop, origin)
+
+
+class H5EventSource:
+    """Chunked column reader over an HDF5 event file — the bounded-memory
+    feeder for streaming store ingest (io/evstore.write_store_streaming).
+
+    Exposes the FULL file (windows are served later from the store's mmap
+    index); reads touch O(chunk) elements per call.  Timestamps come back
+    as absolute float64 seconds (integer-µs files are converted with their
+    `t_offset`).  The file must be time-sorted (DSEC/TUM-VIE files are).
+    """
+
+    def __init__(self, path: str, group: str = "events"):
+        import h5py
+
+        try:
+            import hdf5plugin  # noqa: F401
+        except ImportError:
+            pass
+        self._f = h5py.File(path, "r")
+        self._g = self._f[group] if group in self._f else self._f
+        self.path = path
+        t_ds = self._g["t"]
+        self.count = int(t_ds.shape[0])
+        self._integer_us = np.issubdtype(t_ds.dtype, np.integer)
+        t_off = float(self._f["t_offset"][()]) if "t_offset" in self._f else 0.0
+        self._scale = 1e-6 if self._integer_us else 1.0
+        self._shift = t_off * 1e-6 if self._integer_us else 0.0
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def time_at(self, i: int) -> float:
+        return float(self._g["t"][i]) * self._scale + self._shift
+
+    def read(self, lo: int, hi: int, cols: str = "xytp"):
+        """Columns of [lo, hi); unrequested columns come back None."""
+        g = self._g
+        x = np.asarray(g["x"][lo:hi]) if "x" in cols else None
+        y = np.asarray(g["y"][lo:hi]) if "y" in cols else None
+        t = None
+        if "t" in cols:
+            t = np.asarray(g["t"][lo:hi]).astype(np.float64)
+            t = t * self._scale + self._shift
+        p = np.asarray(g["p"][lo:hi]) if ("p" in cols and "p" in g) else None
+        return x, y, t, p
 
 
 def read_events_npz(

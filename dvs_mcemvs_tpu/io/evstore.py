@@ -168,8 +168,111 @@ class EventStore:
         return bool(self._lib.evs_prefetch_busy(self._h))
 
 
+def write_store_streaming(path: str, source, chunk: int = 4 << 20) -> None:
+    """Stream a whole time-sorted event file into a store with O(chunk)
+    peak memory (VERDICT r2 item 6: the CLI must never materialize an
+    hour-scale DSEC stream — 1e9+ events, 13+ GB of columns — in RAM).
+
+    `source` is any object with `count`, `time_at(i)` and
+    `read(lo, hi, cols)` (io/events.H5EventSource).  The store layout is
+    columnar (native/evstore.cpp header), so the file is written in four
+    sequential single-column passes; each pass reads O(chunk) elements at a
+    time.  Timestamps are stored as absolute epoch t0 + f32 relative
+    seconds, exactly like `write_store`.
+    """
+    import struct
+
+    n = int(source.count)
+    t0 = source.time_at(0) if n else 0.0
+    t1 = source.time_at(n - 1) if n else 0.0
+    with open(path, "wb") as f:
+        f.write(b"EVST0001")
+        f.write(struct.pack("<Q", n))
+        f.write(struct.pack("<d", t0))
+        f.write(struct.pack("<d", t1))
+        prev_last = -np.inf
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            _, _, t, _ = source.read(lo, hi, cols="t")
+            if t[0] < prev_last or np.any(np.diff(t) < 0):
+                raise ValueError(
+                    f"{getattr(source, 'path', '?')} is not time-sorted; "
+                    "streaming ingest requires sorted input")
+            prev_last = t[-1]
+            (t - t0).astype(np.float32).tofile(f)
+        for ci, col in ((0, "x"), (1, "y")):
+            for lo in range(0, n, chunk):
+                hi = min(n, lo + chunk)
+                vals = source.read(lo, hi, cols=col)[ci]
+                vals.astype(np.uint16).tofile(f)
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            _, _, _, p = source.read(lo, hi, cols="p")
+            if p is None:
+                np.zeros(hi - lo, np.int8).tofile(f)
+            else:
+                p.astype(np.int8).tofile(f)
+
+
+class NormalizedStore:
+    """View of an absolute-time EventStore in the run's normalized frame
+    (per-camera `offset` + shared TimeOrigin), the streaming replacement
+    for loading + normalizing the whole stream up front.
+
+    normalized_t = absolute_t + offset - origin.t0; window queries convert
+    the other way.  Duck-types EventStore's window/prefetch/count surface,
+    so pipeline.run_full_seq_stores drives it unchanged.
+    """
+
+    def __init__(self, store: EventStore, offset: float = 0.0, origin=None):
+        self.store = store
+        if origin is not None and origin.t0 is None:
+            origin.t0 = store.time_range[0] + offset
+        self.delta = offset - (origin.t0 if origin is not None else 0.0)
+
+    @property
+    def count(self) -> int:
+        return self.store.count
+
+    @property
+    def time_range(self):
+        a, b = self.store.time_range
+        return a + self.delta, b + self.delta
+
+    def window(self, t0: float, t1: float) -> Events:
+        ev = self.store.window(t0 - self.delta, t1 - self.delta)
+        return Events(ev.x, ev.y, ev.t + self.delta, ev.p)
+
+    def window_count(self, t0: float, t1: float) -> int:
+        lo, hi = self.store.window_indices(t0 - self.delta, t1 - self.delta)
+        return hi - lo
+
+    def head(self, n: int, t0: float, t1: float) -> Events:
+        """First min(n, window) events of a window (preview imaging)."""
+        lo, hi = self.store.window_indices(t0 - self.delta, t1 - self.delta)
+        ev = self.store.read(lo, min(hi, lo + n))
+        return Events(ev.x, ev.y, ev.t + self.delta, ev.p)
+
+    def prefetch(self, t0: float, t1: float) -> bool:
+        return self.store.prefetch(t0 - self.delta, t1 - self.delta)
+
+
 def cache_path_for(source_path: str) -> str:
     return source_path + ".evs"
+
+
+def open_or_build_h5(source_path: str, chunk: int = 4 << 20) -> EventStore:
+    """Open the .evs cache next to an HDF5 event file, stream-building it
+    with O(chunk) memory on first use (or when the source is newer)."""
+    cache = cache_path_for(source_path)
+    fresh = (os.path.exists(cache)
+             and os.path.getmtime(cache) >= os.path.getmtime(source_path))
+    if not fresh:
+        from .events import H5EventSource
+
+        with H5EventSource(source_path) as src:
+            write_store_streaming(cache, src, chunk)
+    return EventStore(cache)
 
 
 def open_or_build(source_path: str, events: Optional[Events] = None) -> EventStore:

@@ -90,7 +90,21 @@ def global_mesh(dim_z: int, max_plane_shards: int = 8) -> Mesh:
     """("event", "plane") mesh over ALL devices of a (possibly multi-host)
     run: plane shards stay intra-host (ICI) by using the per-process device
     order, event shards span hosts (their only communication is the final
-    grid psum, which tolerates DCN)."""
-    n_event, n_plane = pick_mesh_shape(len(jax.devices()), dim_z,
-                                       max_plane_shards)
-    return make_mesh(n_event, n_plane)
+    grid psum, which tolerates DCN).
+
+    The factorization is constrained so the "event" axis is divisible by
+    the process count AND the "plane" axis never crosses a process boundary
+    — each process then owns a whole number of event-shard rows and can
+    feed them from local host memory (`sharded_step_inputs_multihost`)."""
+    devices = jax.devices()
+    n_dev = len(devices)
+    pcnt = jax.process_count()
+    local = n_dev // pcnt
+    n_plane = 1
+    for cand in range(min(max_plane_shards, local), 0, -1):
+        if (n_dev % cand == 0 and dim_z % cand == 0
+                and local % cand == 0
+                and (n_dev // cand) % pcnt == 0):
+            n_plane = cand
+            break
+    return make_mesh(n_dev // n_plane, n_plane)

@@ -205,6 +205,41 @@ def _make_multihost_runner(cfg: RunConfig, mappers, backend: str, opts):
     return run_multihost
 
 
+def _make_sharded_pair_evaluator(cfg: RunConfig, mappers, backend: str,
+                                 n_dev: int):
+    """Mesh evaluator for the temporal algorithms (VERDICT r2 item 4): each
+    sub-interval's two camera DSIs are voted on the ('event','plane') mesh
+    (parallel/sharded.make_sharded_voting_step) and come back plane-sharded;
+    process_2/5's streaming HM/AM accumulators are elementwise, so they stay
+    sharded across sub-intervals with zero extra communication — alg2
+    full_seq runs scale like alg1."""
+    from . import mapper as mappermod
+    from .parallel import make_mesh, pick_mesh_shape, sharded as shardedmod
+
+    n_event, n_plane = pick_mesh_shape(n_dev, cfg.dimZ)
+    mesh = make_mesh(n_event, n_plane)
+    spec = shardedmod.rig_spec_from_mappers(mappers[:2])
+    scfg = shardedmod.ShardedStepConfig(
+        fusion_method=cfg.stereo_fusion, packet_size=cfg.packet_size,
+        backend=backend, plane_block=cfg.plane_block)
+    step = shardedmod.make_sharded_voting_step(mesh, spec, scfg)
+    quantum = n_event * cfg.packet_size
+    log.info("sharded temporal voting over mesh (event=%d, plane=%d), "
+             "backend %s", n_event, n_plane, backend)
+
+    def evaluate_pair(mps, evs, trs, T_rv_w):
+        if min(e.num for e in evs) <= cfg.packet_size:
+            return None, None
+        cap = mappermod.bucket_capacity(max(e.num for e in evs), quantum)
+        args = shardedmod.sharded_step_inputs(
+            mps[:2], evs, trs[:2], T_rv_w, n_event, cfg.packet_size,
+            capacity=cap)
+        out = step(*args)  # (2, Z, H, W), plane-sharded
+        return out[0], out[1]
+
+    return evaluate_pair
+
+
 def _np_local(arr):
     """Materialize a replicated global jax.Array from this process's own
     shards (np.asarray on a non-fully-addressable array raises)."""
@@ -373,13 +408,14 @@ def run(cfg: RunConfig) -> int:
         import jax
 
         n_dev = len(jax.devices()) if jax.default_backend() == "tpu" else 1
+    temporal_eval = None
     if sharded_runner is None and n_dev > 1:
-        if cfg.process_method != 1:
-            log.warning("process_method=%d is not sharded yet; running "
-                        "single-device", cfg.process_method)
-        else:
+        if cfg.process_method == 1:
             sharded_runner = _make_sharded_runner(cfg, mappers, backend, opts,
                                                   n_dev)
+        else:
+            temporal_eval = _make_sharded_pair_evaluator(cfg, mappers,
+                                                         backend, n_dev)
 
     def run_process(mps, evs, trs, ts):
         if sharded_runner is not None:
@@ -408,7 +444,8 @@ def run(cfg: RunConfig) -> int:
                   stereo_fusion=cfg.stereo_fusion,
                   temporal_fusion=cfg.temporal_fusion,
                   num_intervals=cfg.num_intervals,
-                  rv_pos=cfg.rv_pos, vopts=vopts, on_subinterval=on_sub)
+                  rv_pos=cfg.rv_pos, vopts=vopts, on_subinterval=on_sub,
+                  evaluate_pair=temporal_eval)
 
     flag_text = config_to_flagfile(cfg)
     with open(os.path.join(cfg.out_path, "run_flags.conf"), "w") as f:

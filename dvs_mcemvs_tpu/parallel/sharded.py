@@ -228,6 +228,72 @@ def make_sharded_step(
     )
 
 
+def make_sharded_voting_step(
+    mesh: Mesh,
+    spec: ShardedRigSpec,
+    cfg: ShardedStepConfig = ShardedStepConfig(),
+) -> Callable[..., jnp.ndarray]:
+    """Voting-only variant of `make_sharded_step`: returns the per-camera
+    DSIs (ncam, Z, H, W), event-psum'ed and plane-sharded on the mesh, with
+    NO fusion or collapse.
+
+    This is the building block of the sharded temporal algorithms
+    (process_2/5): each sub-interval votes on the mesh, and the streaming
+    HM/AM accumulators stay plane-sharded between calls — they are
+    elementwise, so temporal fusion adds zero communication
+    (reference: src/process2.cpp:211-242; SURVEY.md §5 long-sequence row).
+    """
+    n_plane = mesh.shape[PLANE_AXIS]
+    if spec.dim_z % n_plane != 0:
+        raise ValueError(
+            f"dim_z {spec.dim_z} not divisible by plane shards {n_plane}")
+
+    def local(x, y, t, w, traj_ts, traj_q, traj_t, rv_q, rv_t,
+              lut, K_cam, Kv_inv, depths):
+        zblock = spec.dim_z // n_plane
+        pi = jax.lax.axis_index(PLANE_AXIS)
+        local_depths = jax.lax.dynamic_slice(depths, (pi * zblock,), (zblock,))
+        splat = voting.resolve_backend(cfg.backend)
+        splat_kw = {}
+        if cfg.backend.startswith("hist"):
+            u_full = 1.0 / depths
+            splat_kw["corr_u_mid"] = 0.5 * (jnp.min(u_full) + jnp.max(u_full))
+        dsis = []
+        for c in range(spec.n_cameras):
+            traj = trajmod.Trajectory(traj_ts[c], SE3(traj_q[c], traj_t[c]))
+            packets = voting.warp_events_to_z0(
+                x[c], y[c], t[c], traj, SE3(rv_q, rv_t), lut[c], K_cam[c],
+                Kv_inv, z0=spec.z0, width=spec.width,
+                packet_size=cfg.packet_size, ev_weight=w[c], full=True,
+            )
+            dsi_c = splat(
+                packets, local_depths, spec.z0, spec.vcam_params,
+                spec.width, spec.height, plane_block=cfg.plane_block,
+                **splat_kw,
+            )
+            dsis.append(jax.lax.psum(dsi_c, EVENT_AXIS))
+        return jnp.stack(dsis)
+
+    ev_spec = P(None, EVENT_AXIS)
+    rep = P()
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(ev_spec, ev_spec, ev_spec, ev_spec,
+                  rep, rep, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=P(None, PLANE_AXIS),
+        check_vma=False,
+    )
+    ev_sh = NamedSharding(mesh, ev_spec)
+    rep_sh = NamedSharding(mesh, rep)
+    return jax.jit(
+        sharded,
+        in_shardings=(ev_sh, ev_sh, ev_sh, ev_sh,
+                      rep_sh, rep_sh, rep_sh, rep_sh, rep_sh,
+                      rep_sh, rep_sh, rep_sh, rep_sh),
+    )
+
+
 def pad_events_local(
     events: Sequence[Events],
     local_quantum: int,

@@ -219,6 +219,7 @@ def process_time_fusion(
     rv_pos: float = 0.0,
     vopts: VotingOptions = VotingOptions(),
     on_subinterval: Optional[Callable[[int, Dict[str, jnp.ndarray]], None]] = None,
+    evaluate_pair: Optional[Callable] = None,
 ) -> TemporalResult:
     """Algorithm 2: camera x time fusion with streaming accumulators.
 
@@ -232,6 +233,13 @@ def process_time_fusion(
     Note: the reference's converse-order switch swaps AM and GM relative to
     every other fusion dispatch (process2.cpp:274-278) — treated as a bug and
     not reproduced; `stereo_fusion` means the same function everywhere here.
+
+    `evaluate_pair(mappers, [ev0, ev1], trajs, T_rv_w) -> (d0, d1)` swaps the
+    per-camera DSI evaluator — the hook the CLI uses to vote each
+    sub-interval on a device mesh (parallel/sharded.make_sharded_voting_step)
+    while the streaming accumulators below stay plane-sharded (they are
+    elementwise, so temporal fusion adds zero communication).  Returning
+    None for a DSI marks the sub-interval too small, like the default path.
     """
     if len(mappers) != 2:
         raise ValueError("time fusion is defined for stereo rigs (2 cameras)")
@@ -248,11 +256,16 @@ def process_time_fusion(
     n_live = 0
     t_start = time.time()
     for k in range(num_intervals):
-        dsis, dt, n_ev = _evaluate_all(
-            mappers, [subs0[k], subs1[k]], trajs, T_rv_w, vopts
-        )
-        total_ev += n_ev
-        d0, d1 = dsis
+        if evaluate_pair is not None:
+            d0, d1 = evaluate_pair(mappers, [subs0[k], subs1[k]], trajs,
+                                   T_rv_w)
+            total_ev += subs0[k].num + subs1[k].num
+        else:
+            dsis, dt, n_ev = _evaluate_all(
+                mappers, [subs0[k], subs1[k]], trajs, T_rv_w, vopts
+            )
+            total_ev += n_ev
+            d0, d1 = dsis
         if d0 is None or d1 is None:
             log.warning("sub-interval %d too small, skipped", k)
             continue

@@ -314,8 +314,8 @@ def run(cfg: RunConfig) -> int:
         _open_source(cfg.bag_filename_right, cfg.event_topic1, cfg.offset1),
     ]
     if trinocular:
-        events.append(_open_source(cfg.bag_filename, cfg.event_topic2,
-                                   cfg.offset2))
+        events.append(_open_source(cfg.bag_filename2 or cfg.bag_filename,
+                                   cfg.event_topic2, cfg.offset2))
 
     def _count(src) -> int:
         if isinstance(src, Events):

@@ -23,6 +23,11 @@ class RunConfig:
     bag_filename: str = ""
     bag_filename_left: str = "input.bag"
     bag_filename_right: str = "input.bag"
+    # Camera-2 event source for file-based trinocular rigs.  The reference
+    # only reads cam2 from the single shared bag (main.cpp:49-55 topics); with
+    # per-file containers (npz/h5) the third stream needs its own path.
+    # Empty = fall back to --bag_filename.
+    bag_filename2: str = ""
     bag_filename_pose: str = "input.bag"
     out_path: str = "./"
 

@@ -286,7 +286,12 @@ def _kalibr_cam(node: Dict, fallback_P: bool = True) -> PinholeCamera:
 
 def calib_yaml(calib_path: str) -> RigCalibration:
     """Generic 'cameras:' YAML with per-camera T_B_C (calib.cpp:231-268).
-    Both cameras share camera 0's intrinsics, as the reference does."""
+    All cameras share camera 0's intrinsics, as the reference does.
+
+    Generalization over the reference: a third `cameras:` entry (if present)
+    yields a trinocular rig via T_2_0 — the reference's yaml loader is
+    stereo-only and its trinocular path is the hard-coded evimo2 rig
+    (calib.cpp:678-807)."""
     info = _load_yaml(calib_path)
     cameras = info["cameras"]
     camL = cameras[0]["camera"]
@@ -294,9 +299,13 @@ def calib_yaml(calib_path: str) -> RigCalibration:
     fx, fy, cx, cy = camL["intrinsics"]["data"]
     K = [[fx, 0, cx], [0, fy, cy], [0, 0, 1]]
     cam = _cam(w, h, K, D=(0.0,) * 5, model=PLUMB_BOB, P=K)
-    T_B_left = np.asarray(cameras[0]["T_B_C"]["data"], np.float64).reshape(4, 4)
-    T_B_right = np.asarray(cameras[1]["T_B_C"]["data"], np.float64).reshape(4, 4)
-    T_1_0 = np.linalg.inv(T_B_right) @ T_B_left
+    T_B = [np.asarray(c["T_B_C"]["data"], np.float64).reshape(4, 4)
+           for c in cameras]
+    T_1_0 = np.linalg.inv(T_B[1]) @ T_B[0]
+    if len(cameras) >= 3:
+        return RigCalibration(cams=(cam,) * len(cameras), T_1_0=T_1_0,
+                              T_2_0=np.linalg.inv(T_B[2]) @ T_B[0],
+                              T_hand_eye=np.eye(4))
     return RigCalibration(cams=(cam, cam), T_1_0=T_1_0, T_hand_eye=np.eye(4))
 
 

@@ -30,8 +30,11 @@ class SyntheticRig:
     split_x: float = 0.0  # world-x boundary between the two planes
 
     def camera_position(self, t, cam_index: int = 0) -> np.ndarray:
+        """Camera `cam_index` sits at +cam_index*baseline along the rig's x
+        axis — an inline multi-camera rig (cam2 models the evimo2-style third
+        camera; reference calib.cpp:678-807)."""
         t = np.asarray(t, np.float64)
-        off = self.baseline if cam_index else 0.0
+        off = self.baseline * cam_index
         return np.stack([self.travel * t + off, 0.0 * t, 0.0 * t], axis=-1)
 
 
@@ -104,10 +107,12 @@ def ground_truth_depth(
 
 def write_fixture(
     out_dir: str, rig: Optional[SyntheticRig] = None, n_pts: int = 3000,
-    n_samples: int = 30, seed: int = 7,
+    n_samples: int = 30, seed: int = 7, n_cameras: int = 2,
 ) -> dict:
     """Write a self-contained CLI-drivable dataset: events npz per camera +
-    TUM pose file.  Pairs with calib_type='esim'."""
+    TUM pose file.  Pairs with calib_type='esim' (stereo); with n_cameras=3
+    it also writes a 3-camera 'cameras:' YAML (pairs with calib_type='yaml',
+    key 'calib') modelling an inline evimo2-style rig."""
     import os
 
     from ..io import events as eventsmod
@@ -117,10 +122,27 @@ def write_fixture(
     pts = make_scene(rig, rng)
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
-    for i in (0, 1):
+    for i in range(n_cameras):
         ev = simulate_events(rig, pts, i, n_samples=n_samples, rng=rng)
         paths[f"events{i}"] = os.path.join(out_dir, f"events_{i}.npz")
         eventsmod.write_events_npz(paths[f"events{i}"], ev)
+    if n_cameras >= 3:
+        paths["calib"] = os.path.join(out_dir, "rig.yaml")
+        with open(paths["calib"], "w") as f:
+            f.write("cameras:\n")
+            for i in range(n_cameras):
+                T = np.eye(4)
+                T[0, 3] = rig.baseline * i  # T_B_C: cam i in the body frame
+                row = ", ".join(f"{v}" for v in T.reshape(-1))
+                f.write(
+                    f"  - camera:\n"
+                    f"      image_width: {rig.cam.width}\n"
+                    f"      image_height: {rig.cam.height}\n"
+                    f"      intrinsics:\n"
+                    f"        data: [{rig.cam.fx}, {rig.cam.fy}, "
+                    f"{rig.cam.cx}, {rig.cam.cy}]\n"
+                    f"    T_B_C:\n"
+                    f"      data: [{row}]\n")
     ts, q, p = rig_poses(rig)
     pose_path = os.path.join(out_dir, "poses_tum.txt")
     with open(pose_path, "w") as f:

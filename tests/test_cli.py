@@ -83,6 +83,44 @@ def test_cli_process2_temporal(fixture_dir, tmp_path):
     assert any("depth_map_dense_fused" in f for f in files)
 
 
+def test_cli_trinocular_process1(tmp_path):
+    """3-camera rig through the CLI (reference process1.cpp:105-191 drives
+    evimo2 trinocular rigs): a third event file + 3-camera yaml calib yields
+    n-ary fusion and per-camera artifacts for all three cameras."""
+    pytest.importorskip("cv2")
+    rig = synthetic.SyntheticRig(cam=synthetic.esim_like_rig().cam,
+                                 baseline=0.2, travel=0.4,
+                                 plane_depths=(1.5, 2.5))
+    paths = synthetic.write_fixture(str(tmp_path / "tri"), rig=rig,
+                                    n_pts=1200, n_samples=25, n_cameras=3)
+    out = str(tmp_path / "out_tri")
+    rc = cli.main([
+        f"--bag_filename_left={paths['events0']}",
+        f"--bag_filename_right={paths['events1']}",
+        f"--bag_filename2={paths['events2']}",
+        f"--bag_filename_pose={paths['poses']}",
+        f"--out_path={out}/",
+        "--calib_type=yaml", f"--calib_path={paths['calib']}",
+        "--event_topic2=/cam2/events",
+        "--start_time_s=0", "--stop_time_s=1", "--ts=0.5",
+        "--dimZ=32", "--min_depth=1.0", "--max_depth=4.0",
+        "--packet_size=256", "--nosave_pointcloud",
+        "--process_method=1", "--stereo_fusion=2", "--save_mono",
+    ])
+    assert rc == 0
+    files = os.listdir(out)
+    for i in range(3):
+        assert any(f.startswith(f"events_{i}") for f in files), i
+        assert any(f"depth_points_camera{i}" in f for f in files), i
+    txts = [f for f in files if f.endswith("depth_points_fused.txt")]
+    assert len(txts) == 1
+    pts = np.loadtxt(os.path.join(out, txts[0]))
+    assert pts.shape[0] > 100
+    d = pts[:, 2]
+    near = np.minimum(np.abs(d - 1.5), np.abs(d - 2.5))
+    assert np.median(near) < 0.2, f"median plane distance {np.median(near)}"
+
+
 def test_cli_full_seq(fixture_dir, tmp_path):
     pytest.importorskip("cv2")
     data_dir, paths = fixture_dir

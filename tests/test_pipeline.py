@@ -63,6 +63,60 @@ def test_dsi_additivity_over_event_partition(small_rig):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.fixture(scope="module")
+def tri_rig():
+    """Three inline cameras (evimo2-shaped rig: calib.cpp:678-807)."""
+    cam = PinholeCamera(width=64, height=48, fx=60.0, fy=60.0, cx=32.0, cy=24.0)
+    rig = synthetic.SyntheticRig(cam=cam, baseline=0.15, travel=0.4,
+                                 plane_depths=(1.5, 2.5))
+    rng = np.random.default_rng(5)
+    pts = synthetic.make_scene(rig, rng, n_pts=1500)
+    events = [synthetic.simulate_events(rig, pts, i, n_samples=30, rng=rng)
+              for i in range(3)]
+    ts, q, p = synthetic.rig_poses(rig)
+    trajs = [trajmod.from_arrays(ts, q, p + np.array([rig.baseline * i, 0, 0]))
+             for i in range(3)]
+    shape = DsiShape(dim_z=16, min_depth=1.0, max_depth=4.0)
+    mappers = [make_mapper(cam, shape) for _ in range(3)]
+    return rig, mappers, events, trajs
+
+
+def test_process_1_trinocular_recovers_plane_depths(tri_rig):
+    """End-to-end 3-camera process_1 (reference process1.cpp:105-191 runs
+    evimo2 rigs; its GM/AM/RMS silently drop camera 2, ours must not)."""
+    rig, mappers, events, trajs = tri_rig
+    res = pipeline.process_1(mappers, events, trajs, ts=0.5,
+                             stereo_fusion=gridops.FUSE_HM, vopts=VOPTS)
+    assert set(res.dsis) == {"camera0", "camera1", "camera2"}
+    dm = get_depth_map(mappers[0], res.fused_dsi, extract.DepthMapOptions())
+    mask = np.asarray(dm.mask) > 0
+    assert mask.sum() > 100
+    ys, xs = np.nonzero(mask)
+    d = np.asarray(dm.depth)[ys, xs]
+    gt = synthetic.ground_truth_depth(rig, mappers[0].vcam,
+                                      rig.camera_position(0.5)[0], xs, ys, d)
+    med = np.median(np.abs(d - gt))
+    assert med <= (4.0 - 1.0) / 16 + 1e-6, f"median err {med}"
+
+
+@pytest.mark.parametrize("fusion", [gridops.FUSE_GM, gridops.FUSE_AM,
+                                    gridops.FUSE_RMS, gridops.FUSE_HM])
+def test_process_1_trinocular_uses_third_camera(tri_rig, fusion):
+    """All fusion functions are n-ary here — the reference no-ops camera 2
+    for GM/AM/RMS (process1.cpp:178-183). The fused DSI must equal the n-ary
+    fusion of all three per-camera DSIs and differ from the 2-camera one."""
+    rig, mappers, events, trajs = tri_rig
+    res = pipeline.process_1(mappers, events, trajs, ts=0.5,
+                             stereo_fusion=fusion, vopts=VOPTS)
+    d3 = [res.dsis[f"camera{i}"] for i in range(3)]
+    np.testing.assert_allclose(np.asarray(res.fused_dsi),
+                               np.asarray(gridops.fuse_many(d3, fusion)),
+                               rtol=1e-5, atol=1e-4)
+    two = np.asarray(gridops.fuse_many(d3[:2], fusion))
+    assert not np.allclose(np.asarray(res.fused_dsi), two, rtol=1e-3,
+                           atol=1e-3), "third camera did not contribute"
+
+
 def test_process_2_am_order_invariance(small_rig):
     """With AM for both axes, camera-then-time equals time-then-camera."""
     _, mappers, events, trajs = small_rig

@@ -10,6 +10,16 @@ The shared library is built on demand with g++ (no pip/cmake needed) and
 cached under native/build/.  Falls back with ImportError if no compiler is
 available — callers treat the store as an optional acceleration and keep
 the pure-numpy path.
+
+Timestamp precision: the store keeps a f64 epoch `t0` plus f32 seconds
+RELATIVE to it, so absolute (epoch-scale) offsets lose nothing, but within
+a recording the resolution degrades linearly with elapsed time — ~0.24 ms
+at t-t0=2000 s, ~0.43 ms at one hour (eps = (t-t0) * 2^-23).  Window
+boundaries and packet mid-times therefore quantize differently from the
+f64 numpy path (`Events.time_window`) by up to that amount; DSEC's own
+`ms_to_idx` index is 1 ms-granular, so the store stays strictly finer than
+the dataset's native lookup at any recording length
+(tests/test_evstore.py::test_hour_scale_quantization).
 """
 
 from __future__ import annotations

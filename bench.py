@@ -56,6 +56,54 @@ def build_workload():
     return mapper, (x, y, t), traj, T_rv_w
 
 
+def make_full_chunk_step(mapper, traj, T_rv_w, backend, plane_block):
+    """End-to-end process_1 chunk on device: warp -> vote (2 cameras) ->
+    HM fusion -> collapse -> extraction, the span the reference's Mev/s log
+    actually times (process1.cpp:82-86 wraps the whole evaluateDSI + fusion;
+    extraction follows in getDepthMapFromDSI).  Both cameras consume the
+    same event buffers with baseline-offset trajectories — throughput is
+    content-independent; 2 x N_EVENTS are processed per step."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvs_mcemvs_tpu.ops import (camera as camops, extract,
+                                    grid as gridops,
+                                    trajectory as trajmod, voting)
+    from dvs_mcemvs_tpu.ops.se3 import SE3
+
+    z0 = float(mapper.depth_vec.depths()[0])
+    vp = (float(mapper.vcam.fx), float(mapper.vcam.fy),
+          float(mapper.vcam.cx), float(mapper.vcam.cy))
+    K_cam = jnp.asarray(mapper.cam.P, jnp.float32)
+    Kv_inv = jnp.asarray(np.linalg.inv(mapper.vcam.P), jnp.float32)
+    depths = jnp.asarray(mapper.depth_vec.depths(), jnp.float32)
+    traj_ts, traj_q = traj.ts, traj.poses.q
+    traj_t0 = traj.poses.t
+    traj_t1 = traj.poses.t + jnp.asarray([0.6, 0.0, 0.0], traj.poses.t.dtype)
+    rv_q, rv_t = T_rv_w.q, T_rv_w.t
+    rect_params = camops.rect_static(mapper.cam)
+    splat = voting.resolve_backend(backend)
+    opts = extract.DepthMapOptions()
+
+    @jax.jit
+    def step(x, y, t):
+        dsis = []
+        for tt in (traj_t0, traj_t1):
+            trj = trajmod.Trajectory(traj_ts, SE3(traj_q, tt))
+            packets = voting.warp_events_to_z0(
+                x, y, t, trj, SE3(rv_q, rv_t), None, K_cam, Kv_inv,
+                z0=z0, width=mapper.width, packet_size=PACKET, full=True,
+                rect_params=rect_params,
+            )
+            dsis.append(splat(packets, depths, z0, vp, mapper.width,
+                              mapper.height, plane_block=plane_block))
+        fused = gridops.fuse_many(dsis, gridops.FUSE_HM)
+        res = extract.get_depth_map_from_dsi(fused, mapper.depth_vec, opts)
+        return res.depth
+
+    return step
+
+
 def make_step(mapper, traj, T_rv_w, backend, plane_block):
     import jax
     import jax.numpy as jnp
@@ -117,15 +165,20 @@ def _tunnel_rtt():
     return _RTT
 
 
+def _force(out):
+    """Read one scalar back, forcing device completion (any output rank)."""
+    return float(out[(0,) * out.ndim])
+
+
 def time_step(step, dev_args, iters):
     out = step(*dev_args)
-    float(out[0, 0, 0])  # warmup / compile / settle
+    _force(out)  # warmup / compile / settle
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(*dev_args)
-        float(out[0, 0, 0])  # force completion of the whole chain
+        _force(out)  # force completion of the whole chain
         runs.append((time.perf_counter() - t0 - _tunnel_rtt()) / iters)
     return max(min(runs), 1e-9)
 
@@ -138,37 +191,58 @@ def main():
     dev_args = (jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32),
                 jnp.asarray(t, jnp.float32))
 
-    # Candidate backends: the hist group size is bounded by the workload's
-    # camera travel (see voting_hist.auto_group_size) so the throughput
-    # number is taken at honest accuracy.
-    from dvs_mcemvs_tpu.ops.voting_hist import auto_group_size
-    g = auto_group_size(0.5, N_EVENTS // PACKET, WIDTH * 0.9, 2.0, 40.0)
-    candidates = []
-    for backend, plane_block in [(f"hist:g{g},seg16,bf,pl", 7),
-                                 (f"hist:g{g},seg32,bf,pl", 4),
-                                 (f"hist:g{g},ss2,seg16,bf,pl", 7),
-                                 (f"hist:g{g},seg10,pl", 10),
-                                 (f"hist:g{g},i8,seg16,bf,pl", 7)]:
-        try:
-            step = make_step(mapper, traj, T_rv_w, backend, plane_block)
-            dt = time_step(step, dev_args, iters=5)
-            candidates.append((dt, backend, plane_block, step))
-        except Exception as e:
-            # A broken candidate must be visible (a regression that breaks
-            # every spec would otherwise die as an opaque empty-min).
-            import traceback
-            print(f"bench candidate {backend!r} failed: {e!r}",
-                  file=sys.stderr)
-            traceback.print_exc(file=sys.stderr)
+    # The HEADLINE number is the spec the product actually ships: the same
+    # auto_backend_spec call the CLI makes (cli.py --splat_backend=auto) and
+    # the golden accuracy gates certify — not a tournament winner the user
+    # never runs.  The group size is bounded by the workload's camera travel
+    # (voting_hist.auto_group_size) so throughput is taken at honest
+    # accuracy.
+    from dvs_mcemvs_tpu.ops.voting_hist import (auto_backend_spec,
+                                                auto_group_size)
+    use_pl = jax.default_backend() != "cpu"
+    backend = auto_backend_spec(0.5, N_EVENTS // PACKET, WIDTH * 0.9,
+                                2.0, 40.0, DIM_Z, use_pl)
+    plane_block = 7
 
-    if not candidates:
-        raise RuntimeError(
-            "every bench candidate failed — see stderr for per-candidate "
-            "tracebacks")
-    dt0, backend, plane_block, step = min(candidates, key=lambda c: c[0])
+    def timed(maker, spec, pb, iters=5):
+        step = maker(mapper, traj, T_rv_w, spec, pb)
+        return time_step(step, dev_args, iters=iters), step
+
+    dt0, step = timed(make_step, backend, plane_block)
     iters = max(10, min(100, int(2.0 / max(dt0, 1e-4))))
     dt = time_step(step, dev_args, iters=iters)
     mev_s = N_EVENTS / dt / 1e6
+
+    # Guardrail: if the shipped auto spec falls >10 % behind the best known
+    # alternative, flag it loudly (VERDICT r2 weak #2) — the fix belongs in
+    # auto_backend_spec, not in benching a path users don't run.
+    g = auto_group_size(0.5, N_EVENTS // PACKET, WIDTH * 0.9, 2.0, 40.0)
+    alternatives = {}
+    for alt, pb in [(f"hist:g{g},seg16,bf,pl", 7),
+                    (f"hist:g{g},seg32,bf,pl", 4)]:
+        if alt == backend:
+            continue
+        try:
+            adt, _ = timed(make_step, alt, pb)
+            alternatives[alt] = round(N_EVENTS / adt / 1e6, 2)
+        except Exception as e:
+            # A broken candidate must be visible, never silently dropped.
+            import traceback
+            print(f"bench alternative {alt!r} failed: {e!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+    best_alt = max(alternatives.values(), default=0.0)
+    if best_alt > 1.1 * mev_s:
+        print(f"WARNING: auto spec {backend!r} ({mev_s:.1f} Mev/s) is >10% "
+              f"behind best alternative ({best_alt:.1f} Mev/s) — retune "
+              "auto_backend_spec", file=sys.stderr)
+
+    # Second metric (VERDICT r2 item 5): the full process_1 chunk —
+    # warp -> vote (2 cams) -> HM fuse -> collapse -> extract — on the same
+    # shipped spec; this is the span the reference's log times.
+    cdt0, cstep = timed(make_full_chunk_step, backend, plane_block)
+    citers = max(5, min(50, int(2.0 / max(cdt0, 1e-4))))
+    cdt = time_step(cstep, dev_args, iters=citers)
+    chunk_mev_s = 2 * N_EVENTS / cdt / 1e6
 
     print(json.dumps({
         "metric": "dsi_voting_throughput",
@@ -177,10 +251,16 @@ def main():
         "vs_baseline": round(mev_s / BASELINE_MEV_S, 3),
         "detail": {
             "backend": backend,
+            "backend_is_cli_auto_spec": True,
             "plane_block": plane_block,
             "dsi": [DIM_Z, HEIGHT, WIDTH],
             "events": N_EVENTS,
             "seconds_per_step": round(dt, 4),
+            "full_chunk_mev_s": round(chunk_mev_s, 2),
+            "full_chunk_vs_baseline": round(chunk_mev_s / BASELINE_MEV_S, 3),
+            "full_chunk_events": 2 * N_EVENTS,
+            "full_chunk_seconds": round(cdt, 4),
+            "alternatives_mev_s": alternatives,
             "device": str(jax.devices()[0].platform),
         },
     }))

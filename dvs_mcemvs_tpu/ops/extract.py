@@ -113,19 +113,51 @@ def _box_count(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     return gridops.conv2d_same(x, k, border="zero")
 
 
+def _masked_median_histogram(
+    img: jnp.ndarray, mask: jnp.ndarray, patch_size: int, levels: int
+) -> jnp.ndarray:
+    """Huang's histogram median (median_filtering.cpp:7-158), data-parallel:
+    instead of the serpentine per-pixel histogram walk, box-sum `levels`
+    masked one-hot planes into every pixel's patch histogram at once
+    (separable zero-pad convolutions — out-of-image neighbors contribute
+    nothing, matching get_value's bounds check), CDF along the value axis,
+    and the lower median is the first bin whose CDF reaches rank (n+1)/2.
+    Counts stay exact in f32 (<= patch_size^2 << 2^24)."""
+    m = mask > 0
+    v = jnp.clip(img.astype(jnp.int32), 0, levels - 1)
+    oh = (v[None, :, :] == jnp.arange(levels, dtype=jnp.int32)[:, None, None])
+    oh = jnp.where(m[None, :, :], oh, False).astype(jnp.float32)  # (L, H, W)
+    k = np.ones((patch_size,), np.float32)
+    cdf = jnp.cumsum(gridops.sep_conv2d_same(oh, k, k, border="zero"), axis=0)
+    n = cdf[-1]
+    rank = jnp.floor((n + 1.0) * 0.5)
+    med = jnp.argmax(cdf >= rank[None, :, :], axis=0)
+    return jnp.where(n > 0, med, 0).astype(jnp.float32)
+
+
 def masked_median_filter(
-    img_u8: jnp.ndarray, mask: jnp.ndarray, patch_size: int
+    img_u8: jnp.ndarray, mask: jnp.ndarray, patch_size: int,
+    levels: Optional[int] = None,
 ) -> jnp.ndarray:
     """Masked lower-median over the (patch x patch) neighborhood.
 
     Matches huangMedianFilter exactly: only pixels with mask > 0 contribute;
     the median is the value at rank (n+1)/2 among the n masked neighbors
     (lower median, median_filtering.cpp:7-17); pixels with an empty masked
-    neighborhood get 0.  The reference's serpentine O(p) histogram walk is
-    inherently sequential; here each pixel gathers its patch via static
-    shifts and a small sort — O(HW p^2 log p^2) but fully data-parallel, so
-    it is one fused device op instead of an H*W-step scan.
+    neighborhood get 0.
+
+    `levels` (= number of distinct integer values, e.g. dimZ for depth
+    indices, 256 for u8 images) selects the fast path: the same 256-bin
+    histogram idea as the reference's Huang filter, but data-parallel —
+    per-pixel CDFs from `levels` box-summed one-hot planes, median = first
+    CDF bin reaching the rank (TPU: separable box sums on the VPU; ~6x
+    faster than the sort path at DSEC dims, measured r3).  Without
+    `levels` (or > 256), falls back to gather + small sort per pixel —
+    O(HW p^2 log p^2), still one fused device op, and exact for any float
+    input.
     """
+    if levels is not None and levels <= 256:
+        return _masked_median_histogram(img_u8, mask, patch_size, levels)
     H, W = img_u8.shape
     p = patch_size // 2
     m = (mask > 0)
@@ -152,8 +184,8 @@ def masked_median_filter(
     return jnp.where(n > 0, med, 0.0)
 
 
-def masked_median_filter_u8(img_u8, mask, patch_size):
-    out = masked_median_filter(img_u8, mask, patch_size)
+def masked_median_filter_u8(img_u8, mask, patch_size, levels: int = 256):
+    out = masked_median_filter(img_u8, mask, patch_size, levels=levels)
     return out.astype(jnp.int32)
 
 
@@ -193,8 +225,12 @@ def extract_from_collapsed(
         conf_u8, options.adaptive_threshold_kernel_size, options.adaptive_threshold_c
     )
 
+    # levels = plane count: depth indices are integers in [0, Z), so the
+    # histogram median applies whenever Z fits the 256-bin Huang semantics;
+    # larger dimZ falls back to the gather+sort path inside the filter.
     filtered_idx = masked_median_filter_u8(
-        depth_indices.astype(jnp.float32), mask, options.median_filter_size
+        depth_indices.astype(jnp.float32), mask, options.median_filter_size,
+        levels=int(depths.shape[0]),
     )
 
     border = max(options.adaptive_threshold_kernel_size // 2, 1)

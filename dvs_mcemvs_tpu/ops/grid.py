@@ -223,9 +223,14 @@ def conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray, border: str = "reflect"):
     x = img.reshape((-1, 1, H, W))
     x = jnp.pad(x, ((0, 0), (0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw)), mode=mode)
     k = kernel[None, None, :, :].astype(img.dtype)
+    # HIGHEST precision: TPU conv default is bf16, which perturbs the
+    # Gaussian local means by ~0.5 u8 steps and flips adaptive-threshold
+    # mask pixels vs the OpenCV-parity CPU result.  These are tiny kernels
+    # on 2D maps — exactness costs nothing next to the DSI work.
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(batch_shape + (H, W))
 

@@ -204,11 +204,19 @@ def _skew(w):
     return m.reshape(w.shape[:-1] + (3, 3))
 
 
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3x3 matmul at HIGHEST precision: TPU default matmul precision is
+    bf16, which corrupts pose Jacobians (and through them every packet's
+    homography) at the ~0.4 % level; these products are tiny, exactness
+    is free."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
     """SO(3) left Jacobian J(omega) such that exp twist trans = J @ v."""
     theta = jnp.linalg.norm(omega, axis=-1)
     W = _skew(omega)
-    W2 = W @ W
+    W2 = _mm(W, W)
     t2 = theta * theta
     small = theta < 1e-4
     safe = jnp.where(small, 1.0, theta)
@@ -221,7 +229,7 @@ def _left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
 def _left_jacobian_inv(omega: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.linalg.norm(omega, axis=-1)
     W = _skew(omega)
-    W2 = W @ W
+    W2 = _mm(W, W)
     t2 = theta * theta
     small = theta < 1e-4
     safe = jnp.where(small, 1.0, theta)
@@ -240,13 +248,13 @@ def se3_exp(twist: jnp.ndarray) -> SE3:
     """Twist (..., 6) = [omega, v] -> SE3.  t = J_l(omega) @ v."""
     omega, v = twist[..., :3], twist[..., 3:]
     q = so3_exp(omega)
-    t = (_left_jacobian(omega) @ v[..., :, None])[..., 0]
+    t = _mm(_left_jacobian(omega), v[..., :, None])[..., 0]
     return SE3(q, t)
 
 
 def se3_log(a: SE3) -> jnp.ndarray:
     omega = so3_log(a.q)
-    v = (_left_jacobian_inv(omega) @ a.t[..., :, None])[..., 0]
+    v = _mm(_left_jacobian_inv(omega), a.t[..., :, None])[..., 0]
     return jnp.concatenate([omega, v], axis=-1)
 
 

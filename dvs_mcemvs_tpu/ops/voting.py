@@ -124,12 +124,18 @@ def warp_events_to_z0(
     T_ev_rv = se3.inverse(T_rv_ev)
     R = se3.quat_to_matrix(T_ev_rv.q)              # (K, 3, 3)
     tt = T_ev_rv.t                                 # (K, 3)
-    centers = -jnp.einsum("kij,ki->kj", R, tt)     # -R^T t  (cpp:108)
+    # Geometry matmuls run at HIGHEST precision: TPU default matmul
+    # precision is bf16, which quantizes the fx/cx-scale homography terms by
+    # ~0.4 % — pixel-scale warp errors (measured: within1 drops 0.80->0.62
+    # on the golden fixture).  These are 3x3 products; the cost is nil.
+    hp = jax.lax.Precision.HIGHEST
+    centers = -jnp.einsum("kij,ki->kj", R, tt, precision=hp)  # -R^T t (cpp:108)
 
     # H_z0^{-1} = z0 * R + t e3^T in pixel coords (Eq. (8), cpp:113-120).
     H_inv = z0 * R
     H_inv = H_inv.at[:, :, 2].add(tt)
-    H_inv_px = jnp.einsum("ij,kjl,lm->kim", K_cam, H_inv, Kinv_virtual)
+    H_inv_px = jnp.einsum("ij,kjl,lm->kim", K_cam, H_inv, Kinv_virtual,
+                          precision=hp)
     H_px = _inv3x3(H_inv_px)                       # (K, 3, 3)
 
     # Rectified event locations (LUT gather or analytic), then the

@@ -484,6 +484,19 @@ def splat_hist(
     ss = supersample
     hs = (height + 2 * pad_y) * ss
     ws = (width + 2 * pad_x) * ss
+    if engine == "pallas" and not _pallas_interpret() \
+            and (hs + (-hs % 64)) * (ws + (-ws % 128)) * 4 * 3 > 15 * 2**20:
+        # VMEM feasibility on real TPUs: both Pallas kernels keep one full
+        # (hs, ws) f32 group histogram resident in VMEM, multi-buffered by
+        # the pipeline, against a ~16 MB scoped-VMEM budget.  A 2x-super-
+        # sampled DSEC grid (1088 x 1792 padded, ~7.8 MB/block -> ~22 MB
+        # scoped) fails TPU AOT compilation outright; degrade the whole spec
+        # to the XLA engine (identical binning/sweep math, one-hot matmuls
+        # on the MXU) rather than crash.  Butterfly merging exists only in
+        # the Pallas engine, so it degrades with it.
+        engine = "xla"
+        if merge_mode == "butterfly":
+            merge_mode = "flat"
     if engine == "pallas":
         # Lane/sublane alignment for the banded kernel, plus 64-row strip
         # alignment for the windowed binning kernel: extend the grid at the
@@ -661,17 +674,30 @@ def auto_backend_spec(
 ) -> str:
     """The production backend spec the CLI auto-selects (one definition so
     the CLI, the benchmark, and the golden accuracy gates all exercise the
-    same path): MXU histogram voting with a travel-bounded group size, 2x
-    supersampling, an inverse-depth-segmented sweep, and — on TPU — the
-    Pallas engine with the O(G log S) butterfly merge."""
+    same path): MXU histogram voting with a travel-bounded group size, an
+    inverse-depth-segmented sweep, and — on TPU — the Pallas engine with
+    the O(G log S) butterfly merge (no supersampling: VMEM-infeasible at
+    production dims, see body).  Off-TPU the spec instead adds 2x
+    supersampling (accuracy-first; no VMEM constraint)."""
     g = auto_group_size(chunk_travel_m, n_packets, fx, min_depth, max_depth)
-    spec = f"hist:g{g},ss2"
+    spec = f"hist:g{g}"
     # Segment the inverse-depth sweep when there are enough planes to
     # amortize the leaf merges; with the Pallas engine, power-of-two
     # segment counts take the O(G log S) butterfly merge.
     segs = min(16, dim_z // 10)
     if use_pallas:
-        segs = 1 << max(segs.bit_length() - 1, 0)
+        # Measured on TPU v5e at DSEC dims (640x480x100, 1 Mi events,
+        # BENCH r3): seg16 115.6 Mev/s, seg32 102.4, seg8 95.5 — round the
+        # segment count UP to the next power of two (capped at 16), not
+        # down.  And no 2x supersampling: the supersampled grid blows the
+        # Pallas kernels' scoped-VMEM budget (splat_hist degrades such
+        # specs to the XLA engine, ~4x the histogram work — both slower
+        # and pointless); accuracy of the ss1+seg16 spec is gated by
+        # tests/test_golden.py within the same budget.
+        if segs >= 2:
+            segs = min(16, 1 << (segs - 1).bit_length())
+    else:
+        spec += ",ss2"
     if segs >= 2:
         spec += f",seg{segs}"
         if use_pallas:

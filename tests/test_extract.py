@@ -146,3 +146,22 @@ def test_densify_host_dim_z_over_256():
     d = dv.depths()
     np.testing.assert_allclose(dense[mask > 0], d[300], rtol=1e-6)
     assert np.all(np.abs(dense - d[300]) <= 2.5 * (d[1] - d[0]))
+
+
+def test_masked_median_histogram_matches_sort_path():
+    """The data-parallel histogram median (levels<=256 fast path) must equal
+    the gather+sort reference implementation for any integer image, mask,
+    and patch size — including empty masked neighborhoods."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(33)
+    for patch, levels, shape in [(3, 16, (11, 14)), (5, 100, (17, 13)),
+                                 (7, 256, (9, 21))]:
+        img = rng.integers(0, levels, size=shape).astype(np.float32)
+        mask = (rng.uniform(size=shape) > 0.5).astype(np.uint8)
+        mask[:2] = 0  # a stripe of guaranteed-empty neighborhoods
+        fast = np.asarray(extract.masked_median_filter(
+            jnp.asarray(img), jnp.asarray(mask), patch, levels=levels))
+        slow = np.asarray(extract.masked_median_filter(
+            jnp.asarray(img), jnp.asarray(mask), patch))
+        np.testing.assert_array_equal(fast, slow)

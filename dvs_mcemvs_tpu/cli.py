@@ -87,7 +87,7 @@ def _make_sharded_runner(cfg: RunConfig, mappers, backend: str, opts,
     from .parallel import make_mesh, pick_mesh_shape, sharded as shardedmod
     from .pipeline import ProcessResult
 
-    n_event, n_plane = pick_mesh_shape(n_dev, cfg.dimZ)
+    n_event, n_plane = pick_mesh_shape(n_dev, cfg.dimZ, backend=backend)
     mesh = make_mesh(n_event, n_plane)
     spec = shardedmod.rig_spec_from_mappers(mappers)
     scfg = shardedmod.ShardedStepConfig(
@@ -153,7 +153,7 @@ def _make_multihost_runner(cfg: RunConfig, mappers, backend: str, opts):
     from .parallel import mesh as meshmod, sharded as shardedmod
     from .pipeline import ProcessResult
 
-    mesh = meshmod.global_mesh(cfg.dimZ)
+    mesh = meshmod.global_mesh(cfg.dimZ, backend=backend)
     n_event = mesh.shape[meshmod.EVENT_AXIS]
     n_plane = mesh.shape[meshmod.PLANE_AXIS]
     pidx, pcnt = jax.process_index(), jax.process_count()
@@ -216,7 +216,7 @@ def _make_sharded_pair_evaluator(cfg: RunConfig, mappers, backend: str,
     from . import mapper as mappermod
     from .parallel import make_mesh, pick_mesh_shape, sharded as shardedmod
 
-    n_event, n_plane = pick_mesh_shape(n_dev, cfg.dimZ)
+    n_event, n_plane = pick_mesh_shape(n_dev, cfg.dimZ, backend=backend)
     mesh = make_mesh(n_event, n_plane)
     spec = shardedmod.rig_spec_from_mappers(mappers[:2])
     scfg = shardedmod.ShardedStepConfig(

@@ -106,33 +106,48 @@ def adaptive_threshold_mask(
 # ---------------------------------------------------------------------------
 
 
-def _box_count(x: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """Sliding (patch x patch) sum with zero padding (out-of-image neighbors
-    do not contribute, matching get_value's bounds check)."""
-    k = jnp.ones((patch, patch), dtype=x.dtype)
-    return gridops.conv2d_same(x, k, border="zero")
-
-
-def _masked_median_histogram(
+def _masked_median_bsearch(
     img: jnp.ndarray, mask: jnp.ndarray, patch_size: int, levels: int
 ) -> jnp.ndarray:
-    """Huang's histogram median (median_filtering.cpp:7-158), data-parallel:
-    instead of the serpentine per-pixel histogram walk, box-sum `levels`
-    masked one-hot planes into every pixel's patch histogram at once
-    (separable zero-pad convolutions — out-of-image neighbors contribute
-    nothing, matching get_value's bounds check), CDF along the value axis,
-    and the lower median is the first bin whose CDF reaches rank (n+1)/2.
-    Counts stay exact in f32 (<= patch_size^2 << 2^24)."""
+    """Huang's masked histogram median (median_filtering.cpp:7-158) as a
+    data-parallel rank binary search: stack the patch_size^2 shifted
+    neighbor planes (int16; masked-out neighbors get sentinel `levels`,
+    out-of-image neighbors `levels+1`, matching get_value's bounds check),
+    then per pixel binary-search the smallest value v with
+    #\\{neighbors <= v\\} >= rank, rank = (n+1)//2 — the lower median.
+
+    ceil(log2(levels)) passes of compare+add over a (p^2, H, W) int16 stack:
+    pure VPU work, ~25x less HBM traffic than the previous one-hot
+    (levels, H, W) f32 histogram + cumsum (8.3 ms -> <0.1 ms at DSEC dims
+    on TPU, exact-parity)."""
+    H, W = img.shape
     m = mask > 0
-    v = jnp.clip(img.astype(jnp.int32), 0, levels - 1)
-    oh = (v[None, :, :] == jnp.arange(levels, dtype=jnp.int32)[:, None, None])
-    oh = jnp.where(m[None, :, :], oh, False).astype(jnp.float32)  # (L, H, W)
-    k = np.ones((patch_size,), np.float32)
-    cdf = jnp.cumsum(gridops.sep_conv2d_same(oh, k, k, border="zero"), axis=0)
-    n = cdf[-1]
-    rank = jnp.floor((n + 1.0) * 0.5)
-    med = jnp.argmax(cdf >= rank[None, :, :], axis=0)
-    return jnp.where(n > 0, med, 0).astype(jnp.float32)
+    v = jnp.clip(img.astype(jnp.int32), 0, levels - 1).astype(jnp.int16)
+    v = jnp.where(m, v, jnp.int16(levels))          # masked-out sentinel
+    p = patch_size // 2
+    big = jnp.int16(levels + 1)                     # out-of-image sentinel
+    planes = []
+    for dy in range(-p, p + 1):
+        for dx in range(-p, p + 1):
+            s = jnp.full((H, W), big, jnp.int16)
+            ys = slice(max(0, -dy), min(H, H - dy))
+            xs = slice(max(0, -dx), min(W, W - dx))
+            src_ys = slice(max(0, dy), min(H, H + dy))
+            src_xs = slice(max(0, dx), min(W, W + dx))
+            planes.append(s.at[ys, xs].set(v[src_ys, src_xs]))
+    V = jnp.stack(planes)                            # (p^2, H, W) int16
+    n = jnp.sum((V < levels).astype(jnp.int32), axis=0)
+    rank = (n + 1) // 2
+    lo = jnp.zeros((H, W), jnp.int32)
+    hi = jnp.full((H, W), levels - 1, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(levels, 2))))):
+        mid = (lo + hi) >> 1
+        cnt = jnp.sum((V <= mid[None].astype(jnp.int16)).astype(jnp.int32),
+                      axis=0)
+        ge = cnt >= rank
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    return jnp.where(n > 0, lo, 0).astype(jnp.float32)
 
 
 def masked_median_filter(
@@ -148,16 +163,15 @@ def masked_median_filter(
 
     `levels` (= number of distinct integer values, e.g. dimZ for depth
     indices, 256 for u8 images) selects the fast path: the same 256-bin
-    histogram idea as the reference's Huang filter, but data-parallel —
-    per-pixel CDFs from `levels` box-summed one-hot planes, median = first
-    CDF bin reaching the rank (TPU: separable box sums on the VPU; ~6x
-    faster than the sort path at DSEC dims, measured r3).  Without
-    `levels` (or > 256), falls back to gather + small sort per pixel —
-    O(HW p^2 log p^2), still one fused device op, and exact for any float
-    input.
+    histogram idea as the reference's Huang filter, but as a data-parallel
+    rank binary search over the shifted neighbor planes (log2(levels)
+    compare+count passes on the VPU — see _masked_median_bsearch; <0.1 ms
+    at DSEC dims on TPU, measured r4).  Without `levels` (or > 256), falls
+    back to gather + small sort per pixel — O(HW p^2 log p^2), still one
+    fused device op, and exact for any float input.
     """
     if levels is not None and levels <= 256:
-        return _masked_median_histogram(img_u8, mask, patch_size, levels)
+        return _masked_median_bsearch(img_u8, mask, patch_size, levels)
     H, W = img_u8.shape
     p = patch_size // 2
     m = (mask > 0)

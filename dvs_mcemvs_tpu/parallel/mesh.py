@@ -28,15 +28,37 @@ EVENT_AXIS = "event"
 PLANE_AXIS = "plane"
 
 
-def pick_mesh_shape(
-    n_devices: int, dim_z: int, max_plane_shards: int = 8
-) -> Tuple[int, int]:
-    """(n_event, n_plane) factorization of `n_devices`.
+def _plane_sharding_helps(backend: Optional[str]) -> bool:
+    """Whether the splat backend gains from plane shards.
 
-    Prefers plane shards up to `max_plane_shards` (they need no communication
-    during voting at all), provided they divide `dim_z` evenly; remaining
+    The hist:* backends bin the full event stream into a dense image
+    histogram before resampling it onto each depth plane — a plane shard
+    re-bins ALL events for its plane subset, so plane sharding duplicates
+    the dominant work (SCALING.json r3 measured (1,8) at 4.40x and (2,4)
+    at 1.47x overhead vs (8,1) at 0.27x on the hist backend).  The
+    scatter/sort backends splat events per plane (the reference's OpenMP
+    mapping, mapper_emvs_stereo.cpp:166-172), so their plane shards are
+    communication-free AND work-free — those keep the plane preference.
+    """
+    return backend is not None and backend.partition(":")[0] not in (
+        "hist", "hist_exact")
+
+
+def pick_mesh_shape(
+    n_devices: int, dim_z: int, max_plane_shards: int = 8,
+    backend: Optional[str] = None,
+) -> Tuple[int, int]:
+    """(n_event, n_plane) factorization of `n_devices`, backend-aware.
+
+    For the hist:* backends (the spec the CLI's auto path ships on TPU)
+    every device goes to the "event" axis — plane shards would duplicate
+    the event binning (see _plane_sharding_helps).  For scatter-family
+    backends (or unknown, backend=None) plane shards are preferred up to
+    `max_plane_shards`, provided they divide `dim_z` evenly; the remaining
     factor becomes event shards.
     """
+    if backend is not None and not _plane_sharding_helps(backend):
+        return n_devices, 1
     n_plane = 1
     for cand in range(min(max_plane_shards, n_devices), 0, -1):
         if n_devices % cand == 0 and dim_z % cand == 0:
@@ -86,25 +108,29 @@ def init_distributed(
     return jax.process_index(), jax.process_count()
 
 
-def global_mesh(dim_z: int, max_plane_shards: int = 8) -> Mesh:
+def global_mesh(dim_z: int, max_plane_shards: int = 8,
+                backend: Optional[str] = None) -> Mesh:
     """("event", "plane") mesh over ALL devices of a (possibly multi-host)
     run: plane shards stay intra-host (ICI) by using the per-process device
     order, event shards span hosts (their only communication is the final
     grid psum, which tolerates DCN).
 
-    The factorization is constrained so the "event" axis is divisible by
-    the process count AND the "plane" axis never crosses a process boundary
-    — each process then owns a whole number of event-shard rows and can
-    feed them from local host memory (`sharded_step_inputs_multihost`)."""
+    Backend-aware like `pick_mesh_shape`: hist:* backends put every device
+    on the "event" axis.  Otherwise the factorization is constrained so the
+    "event" axis is divisible by the process count AND the "plane" axis
+    never crosses a process boundary — each process then owns a whole
+    number of event-shard rows and can feed them from local host memory
+    (`sharded_step_inputs_multihost`)."""
     devices = jax.devices()
     n_dev = len(devices)
     pcnt = jax.process_count()
     local = n_dev // pcnt
     n_plane = 1
-    for cand in range(min(max_plane_shards, local), 0, -1):
-        if (n_dev % cand == 0 and dim_z % cand == 0
-                and local % cand == 0
-                and (n_dev // cand) % pcnt == 0):
-            n_plane = cand
-            break
+    if backend is None or _plane_sharding_helps(backend):
+        for cand in range(min(max_plane_shards, local), 0, -1):
+            if (n_dev % cand == 0 and dim_z % cand == 0
+                    and local % cand == 0
+                    and (n_dev // cand) % pcnt == 0):
+                n_plane = cand
+                break
     return make_mesh(n_dev // n_plane, n_plane)

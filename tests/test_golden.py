@@ -110,7 +110,10 @@ def test_sharded_production_within_budget(fixture, production_run):
     mappers, events, trajs, scene, ts_rv, g = fixture
     spec, _, dm_prod = production_run
 
-    ne, npl = pick_mesh_shape(8, golden.DIM_Z)
+    # The SHIPPED mesh shape for this backend (VERDICT r3 item 4): hist
+    # specs get event-only meshes, so the gate certifies the decomposition
+    # the CLI actually runs.
+    ne, npl = pick_mesh_shape(8, golden.DIM_Z, backend=spec)
     mesh = make_mesh(ne, npl)
     rig = sharded.rig_spec_from_mappers(mappers)
     cfg = sharded.ShardedStepConfig(fusion_method=2, packet_size=1024,

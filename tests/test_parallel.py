@@ -66,6 +66,18 @@ def test_pick_mesh_shape():
     assert (ne, npl) == (8, 1)
 
 
+def test_pick_mesh_shape_backend_aware():
+    """VERDICT r3 item 4: hist backends re-bin the whole event stream per
+    plane shard (SCALING.json measured 1.47-4.40x overhead), so they get
+    event-only meshes; scatter keeps the plane preference (OpenMP analog)."""
+    assert pick_mesh_shape(8, 100, backend="hist:g16,seg16,bf,pl") == (8, 1)
+    assert pick_mesh_shape(8, 16, backend="hist_exact") == (8, 1)
+    assert pick_mesh_shape(8, 100, backend="scatter") == (2, 4)
+    assert pick_mesh_shape(8, 16, backend="scatter") == (1, 8)
+    assert pick_mesh_shape(8, 100, max_plane_shards=4,
+                           backend="sort") == (2, 4)
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1), (1, 8)])
 def test_sharded_matches_single_device(rig_setup, mesh_shape):
     mappers, events, trajs, T_rv_w = rig_setup

@@ -32,9 +32,12 @@ def config_fingerprint(flag_text: str) -> str:
     keep = []
     for line in flag_text.splitlines():
         key = line.split("=", 1)[0].lstrip("-")
+        # Excluded: pure-output / observability knobs, plus the coordinator
+        # ADDRESS (a relaunch binds a new port; the decomposition-relevant
+        # num_processes/process_id stay in).
         if key in ("out_path", "save_dsi", "save_mono", "save_conf_stats",
                    "save_dense", "platform", "use_event_store", "profile_dir",
-                   "checkpoint"):
+                   "checkpoint", "timing_sync_every", "coordinator"):
             continue
         keep.append(line)
     return hashlib.sha256("\n".join(keep).encode()).hexdigest()[:16]
@@ -110,3 +113,42 @@ class RunCheckpoint:
     @property
     def num_done(self) -> int:
         return len(self._done)
+
+
+def sync_multihost(ckpt: RunCheckpoint) -> None:
+    """Align resume decisions across the processes of a multi-process run.
+
+    Every process must skip the SAME chunks, or the per-chunk sharded
+    collectives misalign: process 0 (whose out_path holds the real ledger)
+    would stop issuing steps for completed chunks while its peers — whose
+    outputs are redirected to fresh scratch dirs and therefore hold no
+    ledger — still issue them, mis-pairing the cross-chunk psums or hanging
+    the run.  Process 0's ledger is canonical: broadcast its done-set
+    through the coordinator's collectives and overwrite every peer's view
+    BEFORE the chunk loop starts.  Peers keep writing their scratch ledgers
+    (harmless, and it keeps mark_done symmetric); only process 0's survives
+    as the resume source of the next launch.
+
+    No-op in single-process runs.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    done = np.asarray(sorted(ckpt._done), dtype=np.int32)
+    # Two-step broadcast (count, then indices) keeps the payload shape
+    # data-driven without a fixed cap; both calls run on every process.
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.asarray([done.size], np.int32))[0])
+    if n == 0:
+        ckpt._done = set()
+        return
+    buf = done if jax.process_index() == 0 else np.zeros(n, np.int32)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    ckpt._done = {int(i) for i in buf}
+    if jax.process_index() != 0:
+        log.info("resume sync: %d chunks done per process 0's ledger",
+                 len(ckpt._done))

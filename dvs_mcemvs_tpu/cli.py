@@ -100,7 +100,10 @@ def _make_sharded_runner(cfg: RunConfig, mappers, backend: str, opts,
 
     import time as _time
 
+    n_calls = 0
+
     def run_sharded(mps, evs, trs, ts) -> ProcessResult:
+        nonlocal n_calls
         if min(e.num for e in evs) <= cfg.packet_size:
             raise ValueError("chunk smaller than one packet")
         T_rv_w = pipeline.place_reference_view(trs[0], ts, cfg.rv_pos)
@@ -121,9 +124,24 @@ def _make_sharded_runner(cfg: RunConfig, mappers, backend: str, opts,
             depth=out["depth"], confidence=out["confidence"],
             mask=out["mask"], depth_dense=None,
             depth_indices=out["depth_indices"])
-        log.info("sharded chunk: %d events, %.3f s dispatch, %.1f Mev/s "
-                 "(dispatch-bound; device overlaps)", n_ev, dt,
-                 res.mev_per_s or 0.0)
+        # Device-TRUE throughput probe every Nth chunk (VERDICT r3 item 7):
+        # block until the step's outputs exist on device so a mesh-side
+        # regression shows in logs, not just dispatch overhead.
+        every = cfg.timing_sync_every
+        if every > 0 and n_calls % every == 0:
+            import jax
+
+            jax.block_until_ready(out["depth"])
+            dt_dev = _time.time() - t0
+            res.timings["sharded_device_s"] = dt_dev
+            log.info("sharded chunk %d: %d events, %.3f s device-sync, "
+                     "%.1f Mev/s device-true", n_calls, n_ev, dt_dev,
+                     n_ev / dt_dev / 1e6 if dt_dev > 0 else 0.0)
+        else:
+            log.info("sharded chunk: %d events, %.3f s dispatch, %.1f Mev/s "
+                     "(dispatch-bound; device overlaps)", n_ev, dt,
+                     res.mev_per_s or 0.0)
+        n_calls += 1
         return res
 
     return run_sharded
@@ -171,7 +189,10 @@ def _make_multihost_runner(cfg: RunConfig, mappers, backend: str, opts):
 
     import time as _time
 
+    n_calls = 0
+
     def run_multihost(mps, evs, trs, ts) -> ProcessResult:
+        nonlocal n_calls
         if min(e.num for e in evs) < pcnt * quantum:
             raise ValueError("chunk smaller than one quantum per process")
         T_rv_w = pipeline.place_reference_view(trs[0], ts, cfg.rv_pos)
@@ -194,12 +215,24 @@ def _make_multihost_runner(cfg: RunConfig, mappers, backend: str, opts):
             fused_dsi=out["dsi"], T_rv_w=T_rv_w, ts=ts,
             timings={"multihost_dispatch_s": dt},
             mev_per_s=(n_ev / dt / 1e6) if dt > 0 else None)
+        # The extraction maps come back replicated; _np_local blocks on this
+        # process's shard, so the device-true probe below reuses its wait.
+        every = cfg.timing_sync_every
+        sync_now = every > 0 and n_calls % every == 0
         res.extracted = extract.DepthMapResult(
             depth=_np_local(out["depth"]), confidence=_np_local(out["confidence"]),
             mask=_np_local(out["mask"]), depth_dense=None,
             depth_indices=_np_local(out["depth_indices"]))
-        log.info("multihost chunk: %d events global, %.3f s, %.1f Mev/s",
-                 n_ev, dt, res.mev_per_s or 0.0)
+        if sync_now:
+            dt_dev = _time.time() - t0
+            res.timings["multihost_device_s"] = dt_dev
+            log.info("multihost chunk %d: %d events global, %.3f s "
+                     "device-sync, %.1f Mev/s device-true", n_calls, n_ev,
+                     dt_dev, n_ev / dt_dev / 1e6 if dt_dev > 0 else 0.0)
+        else:
+            log.info("multihost chunk: %d events global, %.3f s dispatch, "
+                     "%.1f Mev/s", n_ev, dt, res.mev_per_s or 0.0)
+        n_calls += 1
         return res
 
     return run_multihost
@@ -235,6 +268,86 @@ def _make_sharded_pair_evaluator(cfg: RunConfig, mappers, backend: str,
             mps[:2], evs, trs[:2], T_rv_w, n_event, cfg.packet_size,
             capacity=cap)
         out = step(*args)  # (2, Z, H, W), plane-sharded
+        return out[0], out[1]
+
+    return evaluate_pair
+
+
+def _open_store_multihost(evstore, path: str, offset: float, origin):
+    """Open the streaming .evs cache in a multi-process run.
+
+    Process 0 stream-builds the cache next to the source; peers wait at a
+    device barrier, then open the finished file (or, when the filesystem is
+    not shared, build their own local copy after the barrier).  The barrier
+    fires on both success and failure so a failed build degrades every
+    process to the RAM path instead of hanging its peers.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    tag = "evs:" + os.path.basename(path)
+    if jax.process_index() == 0:
+        try:
+            return evstore.NormalizedStore(
+                evstore.open_or_build_h5(path), offset, origin)
+        finally:
+            multihost_utils.sync_global_devices(tag)
+    multihost_utils.sync_global_devices(tag)
+    return evstore.NormalizedStore(
+        evstore.open_or_build_h5(path), offset, origin)
+
+
+def _make_multihost_pair_evaluator(cfg: RunConfig, mappers, backend: str):
+    """Multi-process twin of `_make_sharded_pair_evaluator` for the temporal
+    algorithms (process_2/5): each sub-interval's two camera DSIs are voted
+    on the GLOBAL ("event", "plane") mesh with every process feeding only
+    its quantum-aligned slice of the sub-interval, then reassembled to a
+    process-local array from the (intra-process) plane shards — the
+    streaming HM/AM accumulators and the extraction chain run identically
+    on every process afterwards, so outputs match the single-process run
+    (reference: src/process2.cpp:211-242 has no multi-process analog)."""
+    import jax
+
+    from . import mapper as mappermod
+    from .parallel import mesh as meshmod, sharded as shardedmod
+
+    mesh = meshmod.global_mesh(cfg.dimZ, backend=backend)
+    n_event = mesh.shape[meshmod.EVENT_AXIS]
+    n_plane = mesh.shape[meshmod.PLANE_AXIS]
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    if n_event % pcnt != 0:
+        raise ValueError(
+            f"event shards {n_event} not divisible by {pcnt} processes")
+    quantum = (n_event // pcnt) * cfg.packet_size
+    spec = shardedmod.rig_spec_from_mappers(mappers[:2])
+    scfg = shardedmod.ShardedStepConfig(
+        fusion_method=cfg.stereo_fusion, packet_size=cfg.packet_size,
+        backend=backend, plane_block=cfg.plane_block)
+    step = shardedmod.make_sharded_voting_step(mesh, spec, scfg)
+    log.info("multihost temporal voting: process %d/%d, mesh (event=%d, "
+             "plane=%d), backend %s", pidx, pcnt, n_event, n_plane, backend)
+
+    def assemble(garr):
+        # (2, Z, H, W), replicated over "event" and sharded over "plane";
+        # plane shards stay intra-process (global_mesh), so this process's
+        # addressable shards cover every plane block.
+        out = np.zeros(garr.shape, np.float32)
+        for sh in garr.addressable_shards:
+            out[sh.index] = np.asarray(sh.data)
+        return out
+
+    def evaluate_pair(mps, evs, trs, T_rv_w):
+        if min(e.num for e in evs) < pcnt * quantum:
+            return None, None
+        local = []
+        for ev in evs:
+            per = (ev.num // (pcnt * quantum)) * quantum
+            local.append(ev.slice(pidx * per, (pidx + 1) * per))
+        cap = mappermod.bucket_capacity(max(e.num for e in local), quantum)
+        args = shardedmod.sharded_step_inputs_multihost(
+            mesh, mps[:2], local, trs[:2], T_rv_w, cfg.packet_size,
+            local_capacity=cap)
+        out = assemble(step(*args))
         return out[0], out[1]
 
     return evaluate_pair
@@ -289,16 +402,23 @@ def run(cfg: RunConfig) -> int:
     # materialize the stream — the .evs cache next to the source is
     # stream-built in O(chunk) memory (io/evstore.write_store_streaming) and
     # every window afterwards is an mmap'd O(log E) lookup.  The reference
-    # re-parses whole bags per chunk instead (main.cpp:191-199).
-    stream_ok = cfg.full_seq and cfg.use_event_store and not multihost
+    # re-parses whole bags per chunk instead (main.cpp:191-199).  Multi-
+    # process runs stream too: each process mmap-windows only chunk ranges
+    # and slices its quantum share per chunk, so per-process RSS stays
+    # O(chunk) instead of O(full range).
+    stream_ok = cfg.full_seq and cfg.use_event_store
 
     def _open_source(path: str, topic: str, offset: float):
         if stream_ok and os.path.splitext(path)[1].lower() in (".h5", ".hdf5"):
             try:
                 from .io import evstore
 
-                store = evstore.NormalizedStore(
-                    evstore.open_or_build_h5(path), offset, origin)
+                if multihost:
+                    store = _open_store_multihost(evstore, path, offset,
+                                                  origin)
+                else:
+                    store = evstore.NormalizedStore(
+                        evstore.open_or_build_h5(path), offset, origin)
                 log.info("streaming event store for %s: %d events",
                          path, store.count)
                 return store
@@ -398,18 +518,20 @@ def run(cfg: RunConfig) -> int:
     # The sharded step fuses warp -> voting -> psum -> fusion -> collapse ->
     # extraction over an ("event", "plane") mesh (parallel/sharded.py).
     sharded_runner = None
+    temporal_eval = None
     if multihost:
-        if cfg.process_method != 1:
-            raise ValueError("multi-process runs support process_method=1 "
-                             "(temporal algorithms shard on one host)")
-        sharded_runner = _make_multihost_runner(cfg, mappers, backend, opts)
+        if cfg.process_method == 1:
+            sharded_runner = _make_multihost_runner(cfg, mappers, backend,
+                                                    opts)
+        else:
+            temporal_eval = _make_multihost_pair_evaluator(cfg, mappers,
+                                                           backend)
     n_dev = cfg.num_devices
     if n_dev == 0:
         import jax
 
         n_dev = len(jax.devices()) if jax.default_backend() == "tpu" else 1
-    temporal_eval = None
-    if sharded_runner is None and n_dev > 1:
+    if not multihost and sharded_runner is None and n_dev > 1:
         if cfg.process_method == 1:
             sharded_runner = _make_sharded_runner(cfg, mappers, backend, opts,
                                                   n_dev)
@@ -484,6 +606,14 @@ def _run_configured(cfg, rig, mappers, events, trajs, opts, run_process,
             os.path.join(cfg.out_path, "checkpoint.json"),
             fingerprint=config_fingerprint(flag_text),
             enabled=cfg.checkpoint)
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # Resume decisions must be process-consistent or the sharded
+            # per-chunk collectives misalign (checkpoint.sync_multihost).
+            from .checkpoint import sync_multihost
+
+            sync_multihost(ckpt)
         from .mapper import Events as _Events
 
         if all(not isinstance(s, _Events) for s in events):

@@ -113,6 +113,11 @@ class RunConfig:
     coordinator: str = ""                 # host:port of process 0
     num_processes: int = 0                # total process count (0 = auto)
     process_id: int = -1                  # this process's index (-1 = auto)
+    # Every Nth mesh/multihost chunk, block on the device and log a
+    # device-TRUE Mev/s next to the (pipelined) dispatch number, so mesh
+    # regressions are visible in logs without serializing every chunk.
+    # 0 disables; 1 = fully synchronous timing.
+    timing_sync_every: int = 16
 
     def resolved_ts(self) -> float:
         if self.ts is not None:

@@ -40,7 +40,7 @@ def main():
                                 bench.WIDTH * 0.9, 2.0, 40.0, bench.DIM_Z,
                                 use_pl)
     plane_block = 7
-    print(f"backend={backend} device={jax.default_backend()}")
+    print(f"backend={backend} device={jax.default_backend()}", flush=True)
 
     z0 = float(mapper.depth_vec.depths()[0])
     vp = (float(mapper.vcam.fx), float(mapper.vcam.fy),
@@ -66,9 +66,12 @@ def main():
         return splat(packets, depths, z0, vp, mapper.width, mapper.height,
                      plane_block=plane_block)
 
+    import time as _t
+    c0 = _t.time()
     dsi0 = vote_one(*dev_args, traj_t0)
     dsi1 = vote_one(*dev_args, traj_t1)
     jax.block_until_ready((dsi0, dsi1))
+    print(f"[compile] vote_one {_t.time()-c0:.1f}s", flush=True)
 
     fuse = jax.jit(lambda a, b: gridops.fuse_harmonic_mean(a, b))
     fused = fuse(dsi0, dsi1)
@@ -106,11 +109,11 @@ def main():
             out = out[0]
         bench._force(out)
 
-    def tstep(fn, args, iters=20):
+    def tstep(fn, args, iters=10):
         out = fn(*args)
         force(out)
         runs = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(*args)
@@ -127,10 +130,9 @@ def main():
         ("median", median, (idx, mask)),
         ("full_extract (collapse..depth)", full_extract, (fused,)),
     ]
-    total = 0.0
     for name, fn, args in stages:
         dt = tstep(fn, args)
-        print(f"{name:34s} {dt*1e3:8.3f} ms")
+        print(f"{name:34s} {dt*1e3:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

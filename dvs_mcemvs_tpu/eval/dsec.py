@@ -93,15 +93,40 @@ def disparity_to_depth_map(
     return np.ma.array(out, mask=(out < 0.05))
 
 
-def load_depth_points(path: str, shape: Tuple[int, int]) -> np.ma.MaskedArray:
+def load_depth_points(path: str, shape: Tuple[int, int],
+                      thicken_edges: bool = False) -> np.ma.MaskedArray:
     """Read a `[col row depth]` txt (utils.cpp:31-46 format) into a masked
-    depth map, as get_mcemvs_depth does (evaluate_mcemvs_dsec.py:71-81)."""
+    depth map, as get_mcemvs_depth does (evaluate_mcemvs_dsec.py:71-81).
+
+    `thicken_edges` reproduces the evaluator's optional 3x3-ellipse erosion
+    (evaluate_mcemvs_dsec.py:64-77, off by default there too): invalid
+    pixels hold 255, so the grayscale erode spreads each semi-dense point's
+    depth (the local minimum) into adjacent invalid pixels."""
     H, W = shape
     out = np.full((H, W), 255.0)
     pts = np.loadtxt(path).reshape(-1, 3)
     if pts.size:
         out[pts[:, 1].astype(int), pts[:, 0].astype(int)] = pts[:, 2]
+    if thicken_edges:
+        out = _erode_ellipse3(out)
     return np.ma.array(out, mask=(out == 255.0))
+
+
+def _erode_ellipse3(img: np.ndarray) -> np.ndarray:
+    """cv2.morphologyEx(img, MORPH_ERODE, getStructuringElement(
+    MORPH_ELLIPSE, (3, 3))) — the (3,3) ellipse element is the 4-connected
+    cross, so erosion is the min over the plus-shaped neighborhood.  Uses
+    cv2 when present (bit parity), else an equivalent numpy min-filter."""
+    try:
+        import cv2
+
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+        return cv2.morphologyEx(img, cv2.MORPH_ERODE, k)
+    except ImportError:  # pragma: no cover - cv2 is in the CI image
+        p = np.pad(img, 1, mode="edge")
+        return np.minimum.reduce([
+            p[1:-1, 1:-1], p[:-2, 1:-1], p[2:, 1:-1],
+            p[1:-1, :-2], p[1:-1, 2:]])
 
 
 def match_timestamps(

@@ -435,6 +435,98 @@ def calib_dsec_yaml(calib_path: str, mocap_calib_path: str) -> RigCalibration:
     )
 
 
+def _calib_dsec_hardcoded(K0, D0, K1, D1, T_10, T_21, T_32,
+                          T_lidar_camRect1, T_rect1_1) -> RigCalibration:
+    """Common body of the two per-sequence hard-coded DSEC rigs
+    (calib.cpp:459-522, 525-587): cam0's optimal-K P is shared, rig chain
+    T_32 T_21 T_10, LiDAR hand-eye T_lidar_camRect1 T_rect1_1 T_10."""
+    P = _optimal_new_K(np.asarray(K0), D0, 640, 480)
+    cam0 = _cam(640, 480, K0, D=D0, model=PLUMB_BOB, P=P)
+    cam1 = _cam(640, 480, K1, D=D1, model=PLUMB_BOB, P=P)
+    T_10, T_21, T_32 = (np.asarray(t, np.float64).reshape(4, 4)
+                        for t in (T_10, T_21, T_32))
+    T_lidar_camRect1 = np.asarray(T_lidar_camRect1, np.float64).reshape(4, 4)
+    T_rect1_1 = np.asarray(T_rect1_1, np.float64).reshape(4, 4)
+    return RigCalibration(
+        cams=tuple(_share_p([cam0, cam1])),
+        T_1_0=T_32 @ T_21 @ T_10,
+        T_hand_eye=T_lidar_camRect1 @ T_rect1_1 @ T_10,
+    )
+
+
+def calib_dsec_zurich04a() -> RigCalibration:
+    """Hard-coded DSEC zurich_city_04_a rig (calib.cpp:459-522).
+
+    Unreachable from the reference's own main (no calib_type dispatches to
+    it, main.cpp:117-142); exposed here as calib_type=dsec_zurich04a so the
+    shipped constants are usable without the dataset's yaml files."""
+    return _calib_dsec_hardcoded(
+        K0=[[553.4686750102932, 0, 346.65339162053317],
+            [0, 553.3994078799127, 216.52092103243012], [0, 0, 1]],
+        D0=(-0.09356476362537607, 0.19445779814646236,
+            7.642434980998821e-05, 0.0019563864604273664),
+        K1=[[552.1819422959984, 0, 336.87432177064744],
+            [0, 551.4454720096484, 226.32630571403274], [0, 0, 1]],
+        D1=(-0.09493681546997375, 0.2021148065491477,
+            0.0005821287651820125, 0.0014552921745527136),
+        T_10=[[0.9997329831508507, 0.00994674446197701, 0.020857245142004693, -0.043722240320426424],
+              [-0.01003579267550241, 0.999940949009329, 0.004169095789442527, 0.0010155694745410755],
+              [-0.020814544570561252, -0.004377301558648307, 0.9997737713930034, -0.013372668558381158],
+              [0, 0, 0, 1]],
+        T_21=[[0.9998379578286035, -0.017926384876108554, 0.0016440226264295469, -0.5092603987305321],
+              [0.017914084504235202, 0.9998135043384297, 0.007214022378586629, -0.0022179629729152214],
+              [-0.0017730373650056029, -0.007183402242479184, 0.9999726271607238, 0.0042971588717280644],
+              [0, 0, 0, 1]],
+        T_32=[[0.9999876185667624, -0.0034167786978265787, -0.0036177806040117192, -0.046041759529914676],
+              [0.0033579259589126046, 0.9998639316478117, -0.016150619896091543, -0.0011068440180470077],
+              [0.0036724714325840242, 0.01613827168886575, 0.9998630251891839, 0.012672727774474509],
+              [0, 0, 0, 1]],
+        T_lidar_camRect1=[[0.006502250714427837, 0.0016414391549515739, 0.9999775129537399, 0.448],
+                          [-0.9996294044397522, 0.026445536238290795, 0.006456577459882262, 0.255],
+                          [-0.026434343477244382, -0.999648908012493, 0.0018127863517872211, -0.215],
+                          [0, 0, 0, 1]],
+        T_rect1_1=[[0.9998858610925897, -0.013510711178262034, -0.006762061119800281, 0],
+                   [0.013535205789223095, 0.9999019509726164, 0.0035897974036225495, 0],
+                   [0.00671289739037555, -0.0036809135568848755, 0.9999706935125713, 0],
+                   [0, 0, 0, 1]],
+    )
+
+
+def calib_dsec_interlaken00b() -> RigCalibration:
+    """Hard-coded DSEC interlaken_00_b rig (calib.cpp:525-587); see
+    `calib_dsec_zurich04a` for reachability notes."""
+    return _calib_dsec_hardcoded(
+        K0=[[555.6627242364661, 0, 342.5725306057865],
+            [0, 555.8306341927942, 215.26831427862848], [0, 0, 1]],
+        D0=(-0.09094341408134071, 0.18339771556281387,
+            -0.0006982341741678465, 0.00041396758898911876),
+        K1=[[553.800041834315, 0, 333.21860953836267],
+            [0, 553.7026022383894, 226.01033624096638], [0, 0, 1]],
+        D1=(-0.09492592983896557, 0.20394312250370014,
+            0.00033282360055722797, -0.001101242451777801),
+        T_10=[[0.9996874046885865, 0.009652146488870916, 0.023063585478994113, -0.04410263392688484],
+              [-0.009722042371104245, 0.9999484753460813, 0.0029203673010648615, 0.0005281285423087664],
+              [-0.023034209322743096, -0.0031436795631953228, 0.9997297347181744, -0.01229891454144492],
+              [0, 0, 0, 1]],
+        T_21=[[0.9998543808844597, -0.01706309861700861, -0.00026017635946350924, -0.5094961871754736],
+              [0.017064416377671962, 0.9998338346058513, 0.00641162000174109, -0.002022496204233391],
+              [0.0001507310227716978, -0.006415126105036775, 0.9999794115066636, 0.005365297617411473],
+              [0, 0, 0, 1]],
+        T_32=[[0.9999880111304372, -0.003533401537847065, -0.003390083916194203, -0.04551026028184807],
+              [0.003476600244706753, 0.9998558803824363, -0.016617211420558598, -0.001048727690114844],
+              [0.0034483106189848347, 0.016605226232405814, 0.999856177465359, 0.013554100781902953],
+              [0, 0, 0, 1]],
+        T_lidar_camRect1=[[0.01539728189227399, -0.0012823052573279758, 0.9998806325774878, 0.448],
+                          [-0.9996610000153124, 0.020978176075891836, 0.015420803380972237, 0.255],
+                          [-0.02099544614233234, -0.9997791115150167, -0.0009588636652390625, -0.215],
+                          [0, 0, 0, 1]],
+        T_rect1_1=[[0.9998572179847892, -0.013025778024398856, -0.010764420587133948, 0],
+                   [0.013060715513432202, 0.9999096430275752, 0.003181743349841093, 0],
+                   [0.01072200326407413, -0.0033218800890692088, 0.9999369998948329, 0],
+                   [0, 0, 0, 1]],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry (the main.cpp:117-142 dispatch)
 # ---------------------------------------------------------------------------
@@ -464,6 +556,10 @@ def load_calibration(
         return calib_json_tumvie(calib_path, mocap_calib_path)
     if t == "dsec_yaml":
         return calib_dsec_yaml(calib_path, mocap_calib_path)
+    if t == "dsec_zurich04a":
+        return calib_dsec_zurich04a()
+    if t == "dsec_interlaken00b":
+        return calib_dsec_interlaken00b()
     if t == "yaml_m3ed":
         return calib_yaml_m3ed(calib_path)
     if t == "sony":

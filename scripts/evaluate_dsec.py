@@ -93,6 +93,10 @@ def main(argv=None) -> int:
     ap.add_argument("--start", type=float, default=-np.inf)
     ap.add_argument("--stop", type=float, default=np.inf)
     ap.add_argument("--max_dt", type=float, default=0.1)
+    ap.add_argument("--thicken_edges", action="store_true",
+                    help="3x3 ellipse erosion of the rasterized depth "
+                         "points (evaluate_mcemvs_dsec.py:64-77; off by "
+                         "default there too)")
     args = ap.parse_args(argv)
 
     frames = find_run_frames(args.run_dir, args.suffix)
@@ -141,7 +145,8 @@ def main(argv=None) -> int:
                 continue
             arr = np.load(gt_file)
             gt = np.ma.array(arr, mask=(arr < 0.05))
-        est_maps.append(dsecmod.load_depth_points(path, shape))
+        est_maps.append(dsecmod.load_depth_points(
+            path, shape, thicken_edges=args.thicken_edges))
         gt_maps.append(gt)
         used.append(t)
 

@@ -92,33 +92,46 @@ def time_mesh(mapper, events, traj, T_rv_w, ne, npl):
         [mapper], [events], [traj], T_rv_w, ne, PACKET)
     out = step(*args)
     out["depth"].block_until_ready()  # compile + settle
+    # Repeated min-of-N (VERDICT r3 item 4): shared-core virtual devices
+    # are scheduler-noise-dominated, so each row reports its spread and the
+    # verdict rests on the min over 6 independent 3-step runs.
     runs = []
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         for _ in range(3):
             out = step(*args)
         out["depth"].block_until_ready()
         runs.append((time.perf_counter() - t0) / 3)
-    return min(runs)
+    return min(runs), (max(runs) - min(runs)) / min(runs)
 
 
 def main():
+    from dvs_mcemvs_tpu.parallel import pick_mesh_shape
+
     mapper, events, traj, T_rv_w = build()
+    # The shipped default decomposition for this backend family
+    # (backend-aware pick_mesh_shape: hist -> event-only) must be a
+    # measured row, so the committed verdict covers what the CLI runs.
+    default_mesh = pick_mesh_shape(8, DIM_Z, backend=BACKEND)
     meshes = [(1, 1), (2, 1), (4, 1), (8, 1), (1, 8), (2, 4)]
+    assert tuple(default_mesh) in [tuple(m) for m in meshes], default_mesh
     rows = []
     t_base = None
     for ne, npl in meshes:
-        dt = time_mesh(mapper, events, traj, T_rv_w, ne, npl)
+        dt, spread = time_mesh(mapper, events, traj, T_rv_w, ne, npl)
         if t_base is None:
             t_base = dt
         rows.append({
             "mesh": [ne, npl],
             "seconds_per_step": round(dt, 4),
+            "run_spread_rel": round(spread, 3),
             "overhead_vs_1dev": round(dt / t_base - 1.0, 4),
             "projected_efficiency_floor": round(min(1.0, t_base / dt), 4),
+            "is_shipped_default": [ne, npl] == list(default_mesh),
         })
         print(f"mesh ({ne},{npl}): {dt*1e3:8.1f} ms/step  "
-              f"overhead {dt / t_base - 1.0:+.1%}", file=sys.stderr)
+              f"overhead {dt / t_base - 1.0:+.1%}  spread {spread:.0%}",
+              file=sys.stderr)
 
     # The multi-HOST mesh axis is "event" (its only cross-shard communication
     # is the final grid psum, DCN-tolerant; "plane" stays intra-host on ICI
@@ -141,10 +154,17 @@ def main():
                 two_host["projected_efficiency_floor"],
             "eight_shard_efficiency_floor":
                 eight_way["projected_efficiency_floor"],
+            "shipped_default_mesh_8dev": list(default_mesh),
             "meets_target": two_host["projected_efficiency_floor"] >= 0.8,
-            "note": "multi-host axis is 'event' (grid psum only); 'plane' "
-                    "shards duplicate event binning per shard, so they are "
-                    "kept intra-host and capped by pick_mesh_shape",
+            "caveat": f"measured on {os.cpu_count()} shared host cores; "
+                      "virtual-device rows are scheduler-noise-dominated "
+                      "(per-row run_spread_rel); each row is a min over 6 "
+                      "independent 3-step runs",
+            "note": "multi-host axis is 'event' (grid psum only); for "
+                    "hist:* backends plane shards re-bin the whole event "
+                    "stream, so pick_mesh_shape ships event-only meshes "
+                    "for them (backend-aware since r4); scatter keeps the "
+                    "plane preference (the OpenMP analog)",
         },
     }
     out_path = os.path.join(os.path.dirname(os.path.dirname(

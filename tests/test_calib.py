@@ -184,3 +184,25 @@ def test_tumvie_json(tmp_path):
 def test_unknown_calib_type():
     with pytest.raises(ValueError):
         calib.load_calibration("nope")
+
+
+@pytest.mark.parametrize("name,fx0,t21x", [
+    ("dsec_zurich04a", 553.4686750102932, -0.5092603987305321),
+    ("dsec_interlaken00b", 555.6627242364661, -0.5094961871754736),
+])
+def test_dsec_hardcoded_rigs(name, fx0, t21x):
+    """The two per-sequence hard-coded DSEC rigs (calib.cpp:459-587;
+    unreachable from the reference's main, dispatched here)."""
+    rig = calib.load_calibration(name)
+    assert rig.num_cameras == 2
+    assert rig.cams[0].fx == pytest.approx(fx0)
+    # Shared rectified P (the rig convention, calib.cpp:106-108).
+    np.testing.assert_allclose(rig.cams[1].P, rig.cams[0].P)
+    # T_1_0 = T_32 T_21 T_10: dominated by T_21's ~0.51 m stereo baseline.
+    assert abs(rig.T_1_0[0, 3] - t21x) < 0.12
+    # Hand-eye carries the LiDAR offset (0.448, 0.255, -0.215).
+    assert abs(rig.T_hand_eye[0, 3] - 0.448) < 0.06
+    # Rotations orthonormal.
+    for T in (rig.T_1_0, rig.T_hand_eye):
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)

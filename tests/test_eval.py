@@ -106,6 +106,30 @@ def test_load_depth_points_roundtrip(tmp_path):
     assert m.mask.sum() == 20 * 20 - 2
 
 
+def test_load_depth_points_thicken_edges(tmp_path):
+    """The evaluator's optional 3x3-ellipse erosion
+    (evaluate_mcemvs_dsec.py:64-77): each semi-dense point spreads its
+    depth (the local min over 255-invalid neighbors) into the 4-connected
+    neighborhood; matches cv2's morphologyEx when cv2 is present."""
+    pts = np.array([[5, 7, 2.5], [10, 3, 4.0]])
+    p = tmp_path / "d.txt"
+    np.savetxt(p, pts)
+    m = dsec.load_depth_points(str(p), (20, 20), thicken_edges=True)
+    # The point and its plus-neighbors carry the depth...
+    for (y, x) in [(7, 5), (6, 5), (8, 5), (7, 4), (7, 6)]:
+        assert m[y, x] == 2.5
+    # ...diagonal neighbors do not (the 3x3 ellipse element is a cross).
+    assert m.mask[6, 4] and m.mask[8, 6]
+    assert (~m.mask).sum() == 2 * 5
+
+    cv2 = pytest.importorskip("cv2")
+    raw = np.full((20, 20), 255.0)
+    raw[7, 5], raw[3, 10] = 2.5, 4.0
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    want = cv2.morphologyEx(raw, cv2.MORPH_ERODE, k)
+    np.testing.assert_array_equal(np.asarray(m.filled(255.0)), want)
+
+
 def test_evaluate_sequence():
     H, W = 8, 8
     gt = np.ma.array(np.full((H, W), 2.0))

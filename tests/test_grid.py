@@ -201,7 +201,10 @@ def test_fuse_harmonic_mean_of_local_focus():
     fb = g.local_focus_in_place(jnp.asarray(b), 1)
     want = np.asarray(g.fuse_harmonic_mean(fa, fb))
     np.testing.assert_allclose(got, want, rtol=1e-6)
-    # Variance mode (default) on a constant grid yields zero focus.
+    # Variance mode (default) on a constant grid yields zero focus up to
+    # f32 cancellation: E[x^2] - E[x]^2 on x=2 leaves ~2 ulps of 4
+    # (~5e-7), and the sqrt amplifies that to ~7e-4 — tolerance must
+    # cover it for any summation order of the blur taps.
     const = jnp.ones((3, 6, 6), jnp.float32) * 2.0
     f = np.asarray(g.local_focus_in_place(const, 0))
-    assert np.allclose(f, 0.0, atol=1e-4)
+    assert np.allclose(f, 0.0, atol=1e-3)

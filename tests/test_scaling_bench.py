@@ -37,5 +37,5 @@ def test_scaling_bench_backend_resolves_and_steps():
     sb.N_EVENTS, sb.PACKET = 4096, 256
     mapper, events, traj, T_rv_w = sb.build()
     for mesh in [(1, 1), (2, 2)]:
-        dt = sb.time_mesh(mapper, events, traj, T_rv_w, *mesh)
-        assert dt > 0
+        dt, spread = sb.time_mesh(mapper, events, traj, T_rv_w, *mesh)
+        assert dt > 0 and spread >= 0

@@ -254,20 +254,44 @@ def build_golden_fixture(
     n_per_stripe: int = 4000,
     max_events: Optional[int] = 262_144,
 ):
-    """(mappers, events, trajs, scene, ts_rv) — the full golden problem."""
-    cam = dsec_like_camera()
-    traj0, traj1 = golden_trajectories()
-    scene = make_golden_scene(n_per_stripe=n_per_stripe)
-    rng = np.random.default_rng(SEED + 1)
-    t_range = (0.02, WINDOW_LEN_S - 0.02)
-    ev0 = simulate_events_se3(cam, traj0, scene.pts_w, n_samples, t_range,
-                              rng, max_events)
-    ev1 = simulate_events_se3(cam, traj1, scene.pts_w, n_samples, t_range,
-                              rng, max_events)
+    """(mappers, events, trajs, scene, ts_rv) — the full golden problem.
+
+    The fixture is ALWAYS constructed on the CPU backend: event pixel
+    rounding sits on f32 boundaries, so letting the session's default
+    device (a tunneled TPU) evaluate the pose interpolation would make the
+    committed anchor device-dependent — and three orders of magnitude
+    slower over the tunnel's per-op round trips (~15 min vs ~15 s,
+    measured r4).  Voting itself still runs wherever the caller computes.
+    """
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # cpu platform not initialized: already default
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        cam = dsec_like_camera()
+        traj0, traj1 = golden_trajectories()
+        scene = make_golden_scene(n_per_stripe=n_per_stripe)
+        rng = np.random.default_rng(SEED + 1)
+        t_range = (0.02, WINDOW_LEN_S - 0.02)
+        ev0 = simulate_events_se3(cam, traj0, scene.pts_w, n_samples,
+                                  t_range, rng, max_events)
+        ev1 = simulate_events_se3(cam, traj1, scene.pts_w, n_samples,
+                                  t_range, rng, max_events)
     shape = DsiShape(dim_z=DIM_Z, min_depth=MIN_DEPTH, max_depth=MAX_DEPTH)
     mappers = [make_mapper(cam, shape, DEPTH_SAMPLING),
                make_mapper(cam, shape, DEPTH_SAMPLING)]
     return mappers, [ev0, ev1], [traj0, traj1], scene, WINDOW_LEN_S / 2.0
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 def production_backend_spec(events, packet_size: int, use_pallas: bool) -> str:

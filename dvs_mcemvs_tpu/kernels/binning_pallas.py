@@ -86,16 +86,23 @@ def _kernel(hx_ref, hy_ref, w_ref, out_ref, *, hs, ws, n_eb, int8):
             out_ref[0, :, :] *= 1.0 / (127.0 * 127.0)
 
 
-def _kernel_windowed(tlo_ref, ntl_ref, hx_ref, hy_ref, w_ref, out_ref, *,
-                     hs, ws, n_eb, wh, max_strips, int8):
+def _kernel_windowed(tlo_ref, ntl_ref, hx_ref, hy_ref, w_ref, out_ref,
+                     *scratch, hs, ws, n_eb, wh, max_strips, int8):
     g = pl.program_id(0)
     e = pl.program_id(1)
     hx = hx_ref[0, 0]  # (1, EB)
     hy = hy_ref[0, 0]
-    w = w_ref[0, 0]
+    w = None if w_ref is None else w_ref[0, 0]
     eb = hx.shape[1]
+    # With a non-f32 output dtype, accumulation runs in an f32 VMEM scratch
+    # and the cast happens once on the final event block (saves the separate
+    # HBM convert pass the caller would otherwise run).
+    acc_out = scratch[0] if scratch else None
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (ws, eb), 0).astype(jnp.float32)
+    # With sign-packed binary weights (w_ref None), dropped events carry
+    # hx = -2.0: every x-tap hat(-2 - col) is exactly 0, so no w multiply
+    # is needed anywhere.
     ax = jnp.maximum(0.0, 1.0 - jnp.abs(hx - cols))      # (ws, EB)
     if int8:
         ax = jnp.round(ax * 127.0).astype(jnp.int8)
@@ -104,7 +111,11 @@ def _kernel_windowed(tlo_ref, ntl_ref, hx_ref, hy_ref, w_ref, out_ref, *,
 
     @pl.when(e == 0)
     def _():
-        out_ref[0, :, :] = jnp.zeros((hs, ws), jnp.float32)
+        z = jnp.zeros((hs, ws), jnp.float32)
+        if acc_out is not None:
+            acc_out[:, :] = z
+        else:
+            out_ref[0, :, :] = z
 
     t_lo = tlo_ref[g, e]
     n_strips = ntl_ref[g, e]
@@ -114,7 +125,9 @@ def _kernel_windowed(tlo_ref, ntl_ref, hx_ref, hy_ref, w_ref, out_ref, *,
         def _():
             base = (t_lo + s) * wh
             rows = srows + base.astype(jnp.float32)
-            ay = jnp.maximum(0.0, 1.0 - jnp.abs(hy - rows)) * w  # (WH, EB)
+            ay = jnp.maximum(0.0, 1.0 - jnp.abs(hy - rows))       # (WH, EB)
+            if w is not None:
+                ay = ay * w
             if int8:
                 ayq = jnp.round(ay * 127.0).astype(jnp.int8)
                 acc = jax.lax.dot_general(
@@ -127,12 +140,20 @@ def _kernel_windowed(tlo_ref, ntl_ref, hx_ref, hy_ref, w_ref, out_ref, *,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
             off = pl.multiple_of(base, wh)
-            out_ref[0, pl.ds(off, wh), :] += acc
+            if acc_out is not None:
+                acc_out[pl.ds(off, wh), :] += acc
+            else:
+                out_ref[0, pl.ds(off, wh), :] += acc
 
-    if int8:
-        @pl.when(e == n_eb - 1)
-        def _():
+    @pl.when(e == n_eb - 1)
+    def _():
+        if int8 and acc_out is not None:
+            out_ref[0, :, :] = (acc_out[:, :] * (1.0 / (127.0 * 127.0))
+                                ).astype(out_ref.dtype)
+        elif int8:
             out_ref[0, :, :] *= 1.0 / (127.0 * 127.0)
+        elif acc_out is not None:
+            out_ref[0, :, :] = acc_out[:, :].astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -189,7 +210,7 @@ def bin_events_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("hs", "ws", "event_block", "window_rows", "int8",
-                     "interpret"))
+                     "binary_w", "out_dtype", "interpret"))
 def bin_events_pallas_windowed(
     hx: jnp.ndarray,
     hy: jnp.ndarray,
@@ -200,6 +221,8 @@ def bin_events_pallas_windowed(
     event_block: int = 1024,
     window_rows: int = 64,
     int8: bool = False,
+    binary_w: bool = False,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Sorted-window variant of `bin_events_pallas` (same contract).
@@ -208,6 +231,17 @@ def bin_events_pallas_windowed(
     ranges, then bins each block only into the `window_rows`-row strips its
     events actually touch.  Exact for any event distribution (see module
     docstring); hs must be a multiple of `window_rows`.
+
+    `binary_w=True` asserts w is 0/1-valued (true whenever the caller's
+    per-event weights come only from validity/padding masks): the weight is
+    sign-packed into hx (dropped events get hx = -2.0, whose bilinear
+    x-taps are identically zero), so the row sort moves two payloads
+    instead of three and the kernel skips the weight multiply — the sort is
+    ~1/3 of this stage's time at 1 Mi events.
+
+    `out_dtype` (e.g. bfloat16) casts the finished histogram in-kernel
+    (f32 VMEM accumulation either way), saving the caller's separate HBM
+    convert pass.
     """
     G, E = hx.shape
     if hs % window_rows or ws % 128:
@@ -216,13 +250,21 @@ def bin_events_pallas_windowed(
             f"ws ({ws}) 128-aligned")
     eb = -(-event_block // 1024) * 1024
     e_pad = -E % eb
+    if binary_w:
+        hx = jnp.where(w > 0, hx, -2.0)
     if e_pad:
-        # Padding carries zero weight; hy pads at +inf so padding sorts to
-        # the stream tail and never widens a real block's strip range.
-        hx = jnp.pad(hx, ((0, 0), (0, e_pad)))
+        # Padding carries zero weight; hy pads at the last row so padding
+        # sorts to the stream tail and never widens a real block's strip
+        # range.
+        hx = jnp.pad(hx, ((0, 0), (0, e_pad)),
+                     constant_values=-2.0 if binary_w else 0.0)
         hy = jnp.pad(hy, ((0, 0), (0, e_pad)), constant_values=float(hs - 1))
-        w = jnp.pad(w, ((0, 0), (0, e_pad)))
-    hy, hx, w = jax.lax.sort((hy, hx, w), dimension=1, num_keys=1)
+        if not binary_w:
+            w = jnp.pad(w, ((0, 0), (0, e_pad)))
+    if binary_w:
+        hy, hx = jax.lax.sort((hy, hx), dimension=1, num_keys=1)
+    else:
+        hy, hx, w = jax.lax.sort((hy, hx, w), dimension=1, num_keys=1)
     n_eb = (E + e_pad) // eb
     wh = window_rows
     max_strips = hs // wh
@@ -235,22 +277,37 @@ def bin_events_pallas_windowed(
     n_strips = t_hi - t_lo + 1
 
     shape4 = (G, n_eb, 1, eb)
-    hx, hy, w = (a.reshape(shape4) for a in (hx, hy, w))
-
     ev_spec = pl.BlockSpec((1, 1, 1, eb), lambda g, e, *refs: (g, e, 0, 0),
                            memory_space=pltpu.VMEM)
-    kern = functools.partial(_kernel_windowed, hs=hs, ws=ws, n_eb=n_eb,
-                             wh=wh, max_strips=max_strips, int8=int8)
+    out_dtype = out_dtype or jnp.float32
+    scratch = [] if out_dtype == jnp.float32 \
+        else [pltpu.VMEM((hs, ws), jnp.float32)]
+    if binary_w:
+        hx, hy = (a.reshape(shape4) for a in (hx, hy))
+        operands = (hx, hy)
+        n_ev_in = 2
+
+        def kern(tlo_ref, ntl_ref, hx_ref, hy_ref, out_ref, *scr):
+            _kernel_windowed(tlo_ref, ntl_ref, hx_ref, hy_ref, None, out_ref,
+                             *scr, hs=hs, ws=ws, n_eb=n_eb, wh=wh,
+                             max_strips=max_strips, int8=int8)
+    else:
+        hx, hy, w = (a.reshape(shape4) for a in (hx, hy, w))
+        operands = (hx, hy, w)
+        n_ev_in = 3
+        kern = functools.partial(_kernel_windowed, hs=hs, ws=ws, n_eb=n_eb,
+                                 wh=wh, max_strips=max_strips, int8=int8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # t_lo, n_strips as (G, n_eb) SMEM arrays
         grid=(G, n_eb),
-        in_specs=[ev_spec, ev_spec, ev_spec],
+        in_specs=[ev_spec] * n_ev_in,
         out_specs=pl.BlockSpec((1, hs, ws), lambda g, e, *refs: (g, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, hs, ws), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, hs, ws), out_dtype),
         interpret=interpret,
-    )(t_lo, n_strips, hx, hy, w)
+    )(t_lo, n_strips, *operands)

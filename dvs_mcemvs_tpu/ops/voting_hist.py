@@ -120,6 +120,7 @@ def build_group_histograms(
     dtype=jnp.bfloat16,
     correction: Optional[Tuple[float, float, float, float, float, float]] = None,
     engine: str = "xla",
+    out_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinear-bin each super-packet's z0 locations by one-hot matmul.
 
@@ -127,7 +128,9 @@ def build_group_histograms(
     sweep correction (see `_sweep_correction`).  `engine` = "pallas" runs
     the fused VMEM binning kernel (kernels/binning_pallas.py) instead of
     the XLA one-hot matmuls, eliminating the HBM round trip of the tap
-    matrices.  Returns (hist (G, hs, ws) float32, centers (G, 3)).
+    matrices.  Returns (hist (G, hs, ws), centers (G, 3)); the histogram is
+    float32 unless `out_dtype` asks the fused kernel to cast in-VMEM
+    (accumulation stays f32 either way).
     """
     K, P, _ = packets.xy_z0.shape
     G = -(-K // group_size)
@@ -162,8 +165,13 @@ def build_group_histograms(
             bin_events_pallas, bin_events_pallas_windowed)
 
         if hs % 64 == 0:
+            # Weights are 0/1 whenever no explicit per-event weight rides on
+            # the packets (validity + padding + in-bounds masks only) — the
+            # windowed kernel then sign-packs them into hx and sorts one
+            # payload less.
             hist = bin_events_pallas_windowed(
                 hx, hy, w, hs=hs, ws=ws, int8=(dtype == jnp.int8),
+                binary_w=packets.weight is None, out_dtype=out_dtype,
                 interpret=_pallas_interpret())
         else:  # odd grid (tests): dense fused kernel
             hist = bin_events_pallas(
@@ -535,7 +543,8 @@ def splat_hist(
     hist, centers = build_group_histograms(
         packets, group_size, hs, ws, pad_x, pad_y, ss,
         dtype=bin_dtype if bin_dtype is not None else dtype,
-        correction=corr, engine=engine)
+        correction=corr, engine=engine,
+        out_dtype=dtype if engine == "pallas" else None)
     hist = hist.astype(dtype)
 
     if segments > 1:

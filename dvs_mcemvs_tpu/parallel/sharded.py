@@ -48,6 +48,9 @@ class ShardedRigSpec:
     dim_z: int
     z0: float
     vcam_params: Tuple[float, float, float, float]  # fx, fy, cx, cy of RV cam
+    # Optional depth sampling (frozen/hashable): lets extraction run the
+    # closed-form index→depth arithmetic instead of a TPU-slow table gather.
+    depth_vec: Optional[object] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +76,7 @@ def rig_spec_from_mappers(mappers: Sequence[Mapper]) -> ShardedRigSpec:
             float(m0.vcam.fx), float(m0.vcam.fy),
             float(m0.vcam.cx), float(m0.vcam.cy),
         ),
+        depth_vec=m0.depth_vec,
     )
 
 
@@ -209,7 +213,9 @@ def make_sharded_step(
             x, y, t, w, traj_ts, traj_q, traj_t, rv_q, rv_t,
             lut, K_cam, Kv_inv, depths,
         )
-        result = extract.extract_from_collapsed(conf, idx, depths, cfg.extract_options)
+        result = extract.extract_from_collapsed(conf, idx, depths,
+                                                cfg.extract_options,
+                                                depth_vec=spec.depth_vec)
         return {
             "dsi": fused,
             "depth": result.depth,

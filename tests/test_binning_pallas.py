@@ -99,6 +99,29 @@ def test_windowed_matches_dense(int8, dist):
     np.testing.assert_allclose(windowed, dense, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dist", ["uniform", "bimodal"])
+def test_windowed_binary_w_matches_general(dist):
+    """Sign-packed binary-weight path ≡ general path for 0/1 weights."""
+    from dvs_mcemvs_tpu.kernels.binning_pallas import bin_events_pallas_windowed
+
+    rng = np.random.default_rng(11)
+    G, E, hs, ws = 2, 1500, 192, 256  # E not a block multiple: padding too
+    if dist == "uniform":
+        hy = rng.uniform(0, hs - 1, (G, E))
+    else:
+        hy = np.where(rng.random((G, E)) < 0.5,
+                      rng.uniform(0, 8, (G, E)),
+                      rng.uniform(hs - 9, hs - 1, (G, E)))
+    hx = jnp.asarray(rng.uniform(0, ws - 1, (G, E)), jnp.float32)
+    hy = jnp.asarray(hy, jnp.float32)
+    w = jnp.asarray((rng.random((G, E)) < 0.8).astype(np.float32))
+    general = np.asarray(bin_events_pallas_windowed(
+        hx, hy, w, hs=hs, ws=ws, interpret=True))
+    packed = np.asarray(bin_events_pallas_windowed(
+        hx, hy, w, hs=hs, ws=ws, binary_w=True, interpret=True))
+    np.testing.assert_allclose(packed, general, rtol=1e-5, atol=1e-5)
+
+
 def test_windowed_pads_to_block():
     """Non-multiple-of-block streams pad with zero-weight tail events."""
     from dvs_mcemvs_tpu.kernels.binning_pallas import bin_events_pallas_windowed

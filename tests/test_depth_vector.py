@@ -34,3 +34,14 @@ def test_roundtrip_index_depth():
 def test_swapped_min_max():
     dv = DepthVector(LINEAR, 5.0, 0.3, 10)
     assert dv.min_depth == 0.3 and dv.max_depth == 5.0
+
+
+def test_depth_at_index_matches_table():
+    """Closed-form index→depth ≡ the f32 table to ~1 ulp (the extraction
+    chain uses the arithmetic form to avoid a TPU-slow table gather)."""
+    for kind in (LINEAR, INVERSE):
+        for lo, hi, n in [(0.5, 10.0, 64), (2.0, 40.0, 100), (4.0, 200.0, 256)]:
+            dv = DepthVector(kind, lo, hi, n)
+            table = dv.depths()
+            arith = np.asarray(dv.depth_at_index(np.arange(n)))
+            np.testing.assert_allclose(arith, table, rtol=3e-7)

@@ -328,7 +328,11 @@ GOLDEN_NPZ = os.path.join(_REPO, "tests", "golden", "golden_dsec.npz")
 # within2 under 0.5 and mass out by >5 %).
 BUDGET = {
     "confident_quantile": 0.8,     # "confident" = top-20 % golden confidence
-    "frac_within_1_plane": 0.75,   # confident pixels within +-1 plane index
+    # Tightened r4 (was 0.75) once the shipped spec settled at seg16/radix-4:
+    # both the CPU (ss2,seg10) and TPU (seg16,bf,pl) auto specs measure
+    # within1 = 0.777-0.85 — 0.76 still leaves >1.5 pt headroom while
+    # catching a >2 pt accuracy drift, not just outright breakage.
+    "frac_within_1_plane": 0.76,   # confident pixels within +-1 plane index
     "frac_within_2_planes": 0.85,
     "median_err_planes": 1.0,      # median |index - golden index| <= 1
     "per_camera_mass_rel": 0.005,  # per-camera DSI vote mass within 0.5 %

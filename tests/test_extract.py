@@ -165,3 +165,29 @@ def test_masked_median_histogram_matches_sort_path():
         slow = np.asarray(extract.masked_median_filter(
             jnp.asarray(img), jnp.asarray(mask), patch))
         np.testing.assert_array_equal(fast, slow)
+
+
+def test_extract_depth_vec_arithmetic_matches_gather():
+    """extract_from_collapsed(depth_vec=...) (the TPU-fast arithmetic
+    index→depth) ≡ the table-gather path, for both depth samplings."""
+    import jax.numpy as jnp
+
+    from dvs_mcemvs_tpu.ops import extract
+    from dvs_mcemvs_tpu.ops.depth_vector import (DepthVector, INVERSE,
+                                                 LINEAR)
+
+    rng = np.random.default_rng(5)
+    H, W, Z = 40, 64, 50
+    conf = jnp.asarray(rng.gamma(2.0, 3.0, (H, W)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, Z, (H, W)), jnp.int32)
+    opts = extract.DepthMapOptions()
+    for kind in (LINEAR, INVERSE):
+        dv = DepthVector(kind, 2.0, 40.0, Z)
+        depths = jnp.asarray(dv.depths())
+        a = extract.extract_from_collapsed(conf, idx, depths, opts)
+        b = extract.extract_from_collapsed(conf, idx, depths, opts,
+                                           depth_vec=dv)
+        np.testing.assert_array_equal(np.asarray(a.depth_indices),
+                                      np.asarray(b.depth_indices))
+        np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                                   rtol=3e-7)

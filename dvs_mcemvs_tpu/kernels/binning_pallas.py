@@ -237,7 +237,11 @@ def bin_events_pallas_windowed(
     sign-packed into hx (dropped events get hx = -2.0, whose bilinear
     x-taps are identically zero), so the row sort moves two payloads
     instead of three and the kernel skips the weight multiply — the sort is
-    ~1/3 of this stage's time at 1 Mi events.
+    ~1/3 of this stage's time at 1 Mi events.  CONTRACT, not checked in
+    kernel: under binary_w any w > 0 contributes with weight exactly 1.0
+    (the magnitude is discarded by the sign-packing) — callers with
+    fractional weights must leave binary_w False or get silently wrong
+    histograms.
 
     `out_dtype` (e.g. bfloat16) casts the finished histogram in-kernel
     (f32 VMEM accumulation either way), saving the caller's separate HBM

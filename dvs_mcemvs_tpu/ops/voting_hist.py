@@ -40,6 +40,7 @@ Border semantics diverge deliberately: the reference drops an event's entire
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -47,6 +48,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from .voting import WarpedPackets
+
+logger = logging.getLogger(__name__)
+
+# Scoped-VMEM budget for the Pallas engines: both kernels keep one full
+# (hs, ws) f32 histogram block resident, triple-buffered by the pipeline,
+# against a ~16 MB per-core VMEM.  Specs whose padded grid exceeds this
+# degrade to the XLA engine (loudly — see splat_hist).
+_VMEM_BUDGET_BYTES = 15 * 2**20
+
+
+def _pallas_hist_vmem_bytes(hs: int, ws: int) -> int:
+    """Pipeline-resident VMEM estimate of the Pallas engines' histogram
+    block at the aligned grid size (f32, 3x multi-buffering)."""
+    return (hs + (-hs % 64)) * (ws + (-ws % 128)) * 4 * 3
 
 
 def _group_centers(packets: WarpedPackets, group_size: int):
@@ -121,6 +136,7 @@ def build_group_histograms(
     correction: Optional[Tuple[float, float, float, float, float, float]] = None,
     engine: str = "xla",
     out_dtype=None,
+    weights_binary: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinear-bin each super-packet's z0 locations by one-hot matmul.
 
@@ -128,9 +144,14 @@ def build_group_histograms(
     sweep correction (see `_sweep_correction`).  `engine` = "pallas" runs
     the fused VMEM binning kernel (kernels/binning_pallas.py) instead of
     the XLA one-hot matmuls, eliminating the HBM round trip of the tap
-    matrices.  Returns (hist (G, hs, ws), centers (G, 3)); the histogram is
-    float32 unless `out_dtype` asks the fused kernel to cast in-VMEM
-    (accumulation stays f32 either way).
+    matrices.  `weights_binary` asserts that any explicit per-event weight
+    on the packets is 0/1-valued (e.g. the sharded path's padding mask),
+    which lets the windowed Pallas kernel take its sign-packed two-payload
+    sort (see bin_events_pallas_windowed) even when `packets.weight` is
+    set; fractional weights under this flag are silently rounded to 0/1.
+    Returns (hist (G, hs, ws), centers (G, 3)); the histogram is float32
+    unless `out_dtype` requests a cast (in-VMEM on the windowed kernel, a
+    final convert otherwise; accumulation stays f32 either way).
     """
     K, P, _ = packets.xy_z0.shape
     G = -(-K // group_size)
@@ -166,17 +187,20 @@ def build_group_histograms(
 
         if hs % 64 == 0:
             # Weights are 0/1 whenever no explicit per-event weight rides on
-            # the packets (validity + padding + in-bounds masks only) — the
-            # windowed kernel then sign-packs them into hx and sorts one
-            # payload less.
+            # the packets (validity + padding + in-bounds masks only), or
+            # when the caller asserts binariness (`weights_binary`, the
+            # sharded path's 0/1 padding mask) — the windowed kernel then
+            # sign-packs them into hx and sorts one payload less.
             hist = bin_events_pallas_windowed(
                 hx, hy, w, hs=hs, ws=ws, int8=(dtype == jnp.int8),
-                binary_w=packets.weight is None, out_dtype=out_dtype,
-                interpret=_pallas_interpret())
+                binary_w=packets.weight is None or weights_binary,
+                out_dtype=out_dtype, interpret=_pallas_interpret())
         else:  # odd grid (tests): dense fused kernel
             hist = bin_events_pallas(
                 hx, hy, w, hs=hs, ws=ws, int8=(dtype == jnp.int8),
                 interpret=_pallas_interpret())
+            if out_dtype is not None:
+                hist = hist.astype(out_dtype)
         return hist, centers
 
     rows = jnp.arange(hs, dtype=jnp.float32)
@@ -485,6 +509,7 @@ def splat_hist(
     engine: str = "xla",
     merge_mode: str = "flat",
     corr_u_mid=None,
+    weights_binary: bool = False,
 ) -> jnp.ndarray:
     """Vote all packets into a (Z, H, W) DSI by histogram + affine resample.
 
@@ -513,17 +538,26 @@ def splat_hist(
     hs = (height + 2 * pad_y) * ss
     ws = (width + 2 * pad_x) * ss
     if engine == "pallas" and not _pallas_interpret() \
-            and (hs + (-hs % 64)) * (ws + (-ws % 128)) * 4 * 3 > 15 * 2**20:
-        # VMEM feasibility on real TPUs: both Pallas kernels keep one full
-        # (hs, ws) f32 group histogram resident in VMEM, multi-buffered by
-        # the pipeline, against a ~16 MB scoped-VMEM budget.  A 2x-super-
-        # sampled DSEC grid (1088 x 1792 padded, ~7.8 MB/block -> ~22 MB
-        # scoped) fails TPU AOT compilation outright; degrade the whole spec
-        # to the XLA engine (identical binning/sweep math, one-hot matmuls
-        # on the MXU) rather than crash.  Butterfly merging exists only in
-        # the Pallas engine, so it degrades with it.
+            and _pallas_hist_vmem_bytes(hs, ws) > _VMEM_BUDGET_BYTES:
+        # VMEM feasibility on real TPUs: a 2x-supersampled DSEC grid
+        # (1088 x 1792 padded, ~7.8 MB/block -> ~22 MB scoped) fails TPU
+        # AOT compilation outright; degrade the whole spec to the XLA
+        # engine (identical binning/sweep math, one-hot matmuls on the
+        # MXU, but ~4x the histogram work) rather than crash.  Butterfly
+        # merging exists only in the Pallas engine, so it degrades with it.
+        est = _pallas_hist_vmem_bytes(hs, ws)
+        logger.warning(
+            "splat_hist: pallas engine degraded to XLA — the (%d, %d) "
+            "histogram grid needs ~%.1f MB of scoped VMEM (budget %.0f MB); "
+            "expect ~4x the histogram-stage work. Reduce `supersample` or "
+            "`pad_x`/`pad_y` to stay on the Pallas engine.",
+            hs, ws, est / 2**20, _VMEM_BUDGET_BYTES / 2**20)
         engine = "xla"
         if merge_mode == "butterfly":
+            logger.warning(
+                "splat_hist: butterfly merge needs the Pallas engine — "
+                "falling back to the flat segmented merge (O(G*S) resamples "
+                "instead of O(G log S)).")
             merge_mode = "flat"
     if engine == "pallas":
         # Lane/sublane alignment for the banded kernel, plus 64-row strip
@@ -544,7 +578,8 @@ def splat_hist(
         packets, group_size, hs, ws, pad_x, pad_y, ss,
         dtype=bin_dtype if bin_dtype is not None else dtype,
         correction=corr, engine=engine,
-        out_dtype=dtype if engine == "pallas" else None)
+        out_dtype=dtype if engine == "pallas" else None,
+        weights_binary=weights_binary)
     hist = hist.astype(dtype)
 
     if segments > 1:

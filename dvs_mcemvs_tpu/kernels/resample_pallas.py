@@ -152,6 +152,199 @@ def _kernel(src_ref, sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
             out_ref[0, :, :] = acc[:, :].astype(out_ref.dtype)
 
 
+def _kernel_fanin(oidx_ref, sy_ref, ty_ref, sx_ref, tx_ref, blocks_ref,
+                  out_ref, resy, *acc_scratch,
+                  Ho, Wo, hs, ws, TV, TU, QV, QU, acc_dtype, K):
+    """One grid step = ONE fully-reduced output: sum over the K resident
+    source blocks of their banded resamples.  Same band/tile math as
+    `_kernel`, restructured so the (K, hs, ws) input block is fetched once
+    per GROUP (grid dim 0) and stays resident across the group's M outputs
+    (grid dim 1) — the K-innermost formulation of `_kernel` re-fetches each
+    source once per output instead."""
+    g = pl.program_id(0)
+    m = pl.program_id(1)
+    acc = acc_scratch[0] if acc_scratch else None
+    tgt = out_ref if acc is None else acc
+
+    max_by = -(-hs // QV)
+    max_bx = -(-ws // QU)
+    n_vt = -(-Ho // TV)
+
+    if acc is None:
+        tgt[0, :, :] = jnp.zeros((Ho, Wo), jnp.float32)
+    else:
+        tgt[:, :] = jnp.zeros((Ho, Wo), jnp.float32)
+
+    for k in range(K):
+        sy = sy_ref[g, m, k]
+        ty = ty_ref[g, m, k]
+        sx = sx_ref[g, m, k]
+        tx = tx_ref[g, m, k]
+        inv_sy = 1.0 / sy
+        inv_sx = 1.0 / sx
+
+        # --- y stage: resy = Ry^T @ blocks[k] --------------------------
+        for vt in range(n_vt):
+            v0 = min(vt * TV, Ho - TV)
+            q_start = jnp.floor((v0 - 1 - ty) * inv_sy).astype(jnp.int32)
+            q_start = jnp.clip(q_start, 0, hs - 1)
+            q_start = (q_start // 8) * 8
+            q_end = jnp.ceil((v0 + TV - ty) * inv_sy).astype(jnp.int32) + 1
+            q_end = jnp.clip(q_end, q_start + 1, hs)
+            n_by = (q_end - q_start + QV - 1) // QV
+
+            resy[pl.ds(v0, TV), :] = jnp.zeros((TV, resy.shape[1]),
+                                               jnp.float32)
+            for b in range(max_by):
+                @pl.when(b < n_by)
+                def _():
+                    q_nom = q_start + b * QV
+                    q_lo = jnp.minimum(q_nom, hs - QV)
+                    q_lo = pl.multiple_of((q_lo // 8) * 8, 8)
+                    qq = jax.lax.broadcasted_iota(jnp.int32, (QV, TV), 0) + q_lo
+                    valid = qq >= q_nom
+                    qf = qq.astype(jnp.float32)
+                    vv = jax.lax.broadcasted_iota(
+                        jnp.int32, (QV, TV), 1).astype(jnp.float32) + float(v0)
+                    taps = jnp.maximum(0.0, 1.0 - jnp.abs(qf * sy + ty - vv))
+                    taps = jnp.where(valid, taps, 0.0)
+                    band = blocks_ref[0, k, pl.ds(q_lo, QV), :]
+                    resy[pl.ds(v0, TV), :] += jax.lax.dot_general(
+                        taps.astype(acc_dtype), band.astype(acc_dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+        # --- x stage: tgt += resy @ Cx ---------------------------------
+        for ut in range(Wo // TU):
+            u0 = ut * TU
+            p_start = jnp.floor((u0 - 1 - tx) * inv_sx).astype(jnp.int32)
+            p_start = jnp.clip(p_start, 0, ws - 1)
+            p_start = (p_start // 128) * 128
+            p_end = jnp.ceil((u0 + TU - tx) * inv_sx).astype(jnp.int32) + 1
+            p_end = jnp.clip(p_end, p_start + 1, ws)
+            n_bx = (p_end - p_start + QU - 1) // QU
+
+            idx = (0, slice(None), pl.ds(u0, TU)) if acc is None \
+                else (slice(None), pl.ds(u0, TU))
+            for b in range(max_bx):
+                @pl.when(b < n_bx)
+                def _():
+                    p_nom = p_start + b * QU
+                    p_lo = jnp.minimum(p_nom, ws - QU)
+                    p_lo = pl.multiple_of((p_lo // 128) * 128, 128)
+                    pp = jax.lax.broadcasted_iota(jnp.int32, (QU, TU), 0) + p_lo
+                    valid = pp >= p_nom
+                    pf = pp.astype(jnp.float32)
+                    uu = jax.lax.broadcasted_iota(
+                        jnp.int32, (QU, TU), 1).astype(jnp.float32) + float(u0)
+                    taps = jnp.maximum(0.0, 1.0 - jnp.abs(pf * sx + tx - uu))
+                    taps = jnp.where(valid, taps, 0.0)
+                    band = resy[:, pl.ds(p_lo, QU)]
+                    tgt[idx] += jax.lax.dot_general(
+                        band.astype(acc_dtype), taps.astype(acc_dtype),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+    if acc is not None:
+        out_ref[0, :, :] = acc[:, :].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_out", "out_h", "out_w", "tile_v", "tile_u",
+                     "scale_min", "interpret", "out_dtype"),
+)
+def banded_resample_fanin(
+    blocks: jnp.ndarray,
+    sy: jnp.ndarray,
+    ty: jnp.ndarray,
+    sx: jnp.ndarray,
+    tx: jnp.ndarray,
+    out_idx: jnp.ndarray,
+    *,
+    n_out: int,
+    out_h: int,
+    out_w: int,
+    tile_v: int = 128,
+    tile_u: int = 128,
+    scale_min: float = 0.5,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """out[out_idx[g, m]] = sum_k resample(blocks[g, k], maps (sy..tx)[g, m, k]).
+
+    The fetch-deduplicated formulation of `banded_resample_sum`: grid
+    (Ngrp, M) with the whole (K, hs, ws) source block of group g resident
+    across its M outputs, the K-reduction running INSIDE one step.  Each
+    output is produced fully reduced in a single step, so a bf16 `out_dtype`
+    needs no cross-step f32 scratch round trip, and source HBM traffic
+    drops from N*K block fetches (the `banded_resample_sum` grid) to Ngrp.
+
+    Callers: the butterfly merge (children of one node share their radix
+    parent blocks; `out_idx` scatters each child straight into the standard
+    (range, node) layout) and the plane sweep (planes of one inverse-depth
+    segment share the segment's supergroup histograms; `out_idx` carries
+    per-segment plane offsets, with CLAMPED CONSECUTIVE DUPLICATES padding
+    ragged segments — a duplicate step recomputes the same plane from the
+    same maps, which is idempotent).
+
+    blocks: (Ngrp, K, hs, ws); sy/ty/sx/tx: (Ngrp, M, K) f32 forward maps;
+    out_idx: (Ngrp, M) i32, each output index written by exactly one step
+    (or by consecutive duplicate steps).  Returns (n_out, out_h, out_w).
+    ws and out_w must be 128-multiples, hs an 8-multiple.
+    """
+    Ngrp, K, hs, ws = blocks.shape
+    _, M, _ = sy.shape
+    if sy.shape != (Ngrp, M, K):
+        raise ValueError(f"maps shape {sy.shape} != {(Ngrp, M, K)}")
+    if out_idx.shape != (Ngrp, M):
+        raise ValueError(f"out_idx shape {out_idx.shape} != {(Ngrp, M)}")
+    if ws % 128 or out_w % 128:
+        raise ValueError(f"ws ({ws}) and out_w ({out_w}) must be 128-multiples")
+    if hs % 8:
+        raise ValueError(f"hs ({hs}) must be an 8-multiple")
+    out_dtype = out_dtype or jnp.float32
+    bf16_out = out_dtype == jnp.bfloat16
+
+    TV = _pick_tile(out_h, tile_v, 8)
+    TU = _pick_tile(out_w, tile_u, 128)
+    qv = int(np.ceil(TV / scale_min)) + 24
+    QV = min(hs, qv + (-qv % 8))
+    qu = int(np.ceil(TU / scale_min)) + 24
+    QU = min(ws, qu + (-qu % 128))
+    acc_dtype = blocks.dtype if blocks.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+
+    kern = functools.partial(
+        _kernel_fanin, Ho=out_h, Wo=out_w, hs=hs, ws=ws,
+        TV=TV, TU=TU, QV=QV, QU=QU, acc_dtype=acc_dtype, K=K)
+    scratch = [pltpu.VMEM((out_h, ws), jnp.float32)]
+    if bf16_out:
+        scratch.append(pltpu.VMEM((out_h, out_w), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # out_idx, sy, ty, sx, tx as SMEM arrays
+        grid=(Ngrp, M),
+        in_specs=[
+            pl.BlockSpec((1, K, hs, ws), lambda g, m, *refs: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_h, out_w),
+            lambda g, m, oidx_ref, *refs: (oidx_ref[g, m], 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, out_h, out_w), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
+        interpret=interpret,
+    )(out_idx.astype(jnp.int32), sy.astype(jnp.float32),
+      ty.astype(jnp.float32), sx.astype(jnp.float32),
+      tx.astype(jnp.float32), blocks)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_h", "out_w", "blocked", "tile_v", "tile_u",

@@ -372,7 +372,7 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
 
     Returns (hist_per_segment (S, G/S, hs, ws), centers (G/S, 3)).
     """
-    from ..kernels.resample_pallas import banded_resample_sum
+    from ..kernels.resample_pallas import banded_resample_fanin
 
     S = len(bounds) - 1
     G0, hs_, ws_ = hist.shape
@@ -413,13 +413,15 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
         tgt = jnp.mean(cen.reshape(N, radix, 3), axis=1)        # (N, 3)
         tgt_rep = jnp.repeat(tgt, radix, axis=0)                # (N_prev, 3)
 
-        # Child (r, n) sums its `radix` parents from range r//radix;
-        # sources are gathered by index (scalar prefetch) — no duplicated
-        # input copies.
-        rs = np.arange(R)[:, None, None]
+        # Fan-in layout: group (q, n) = (parent range, node) holds the
+        # radix parents (q*N_prev + radix*n + k, contiguous in standard
+        # layout) resident while its radix child ranges j are produced,
+        # each scattered straight to standard index (q*radix + j)*N + n.
+        Ngrp = R_prev * N
+        qs = np.arange(R_prev)[:, None, None]
         ns = np.arange(N)[None, :, None]
-        ks = np.arange(radix)[None, None, :]
-        src = ((rs // radix) * N_prev + radix * ns + ks).reshape(R * N, radix)
+        js = np.arange(radix)[None, None, :]
+        out_idx = ((qs * radix + js) * N + ns).reshape(Ngrp, radix)
 
         # Each parent range feeds `radix` child ranges, each with its own
         # exactness midpoint.
@@ -431,15 +433,20 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
             sys_.append(m_s)
             tys_.append(bt_y)
             txs_.append(bt_x)
-        NK = R * N
-        sy = jnp.concatenate(sys_).reshape(NK, radix)
-        ty = jnp.concatenate(tys_).reshape(NK, radix)
-        tx = jnp.concatenate(txs_).reshape(NK, radix)
-        cur = banded_resample_sum(
-            cur, sy, ty, sy, tx,
-            out_h=hs_, out_w=ws_, blocked=True, scale_min=0.9,
-            src=jnp.asarray(src, jnp.int32), out_dtype=dtype,
-            interpret=_pallas_interpret())
+
+        def fanin_maps(parts):
+            # parts concat over child range rc: value at (rc, parent_flat)
+            # with parent_flat = radix*n + k; reorder to (group, j, k).
+            a = jnp.concatenate(parts).reshape(R_prev, radix, N, radix)
+            return a.transpose(0, 2, 1, 3).reshape(Ngrp, radix, radix)
+
+        cur = banded_resample_fanin(
+            cur.reshape(Ngrp, radix, hs_, ws_),
+            fanin_maps(sys_), fanin_maps(tys_),
+            fanin_maps(sys_), fanin_maps(txs_),
+            jnp.asarray(out_idx, jnp.int32),
+            n_out=R * N, out_h=hs_, out_w=ws_, scale_min=0.9,
+            out_dtype=dtype, interpret=_pallas_interpret())
         cen = tgt
     return cur.reshape(R, N, hs_, ws_), cen
 
@@ -603,6 +610,10 @@ def splat_hist(
             hist_seg, centers_s = _merge_butterfly(
                 hist, centers, depths, bounds, z0, vcam_params,
                 pad_x, pad_y, ss, dtype)
+            if all(bounds[s] < bounds[s + 1] for s in range(segments)):
+                return _sweep_planes_fanin(
+                    hist_seg, centers_s, depths, bounds, z0, vcam_params,
+                    width, height, pad_x, pad_y, ss)
             parts = []
             for s in range(segments):
                 i0, i1 = bounds[s], bounds[s + 1]
@@ -632,6 +643,40 @@ def splat_hist(
 
     return _sweep_planes(hist, centers, depths, z0, vcam_params, width,
                          height, pad_x, pad_y, ss, plane_block, dtype, engine)
+
+
+def _sweep_planes_fanin(hist_seg, centers_s, depths, bounds, z0, vcam_params,
+                        width, height, pad_x, pad_y, ss):
+    """Fetch-deduplicated plane sweep over the butterfly's range-specialized
+    supergroups: ONE fan-in kernel call sweeps every segment, holding each
+    segment's (K, hs, ws) histogram block resident across its planes
+    (`banded_resample_sum` re-fetches every block once per plane — at DSEC
+    dims that is Z*K ~ 400 MB of redundant HBM reads).  Ragged segments are
+    padded with clamped-duplicate plane indices (idempotent recompute of
+    the segment's last plane).  Requires every segment non-empty."""
+    from ..kernels.resample_pallas import banded_resample_fanin
+
+    fx, fy, cx, cy = vcam_params
+    S = hist_seg.shape[0]
+    Z = depths.shape[0]
+    sx, tx, sy, ty = _affine_coeffs(
+        centers_s, depths, z0, fx, fy, cx, cy, pad_x, pad_y, ss)  # (K, Z)
+    seg_lens = [bounds[s + 1] - bounds[s] for s in range(S)]
+    M = max(seg_lens)
+    pidx = np.stack([np.minimum(bounds[s] + np.arange(M), bounds[s + 1] - 1)
+                     for s in range(S)])                          # (S, M)
+    pidx_j = jnp.asarray(pidx, jnp.int32)
+
+    def gath(c):  # (K, Z) -> (S, M, K)
+        return c[:, pidx_j].transpose(1, 2, 0)
+
+    w_pad = width + (-width % 128)
+    out = banded_resample_fanin(
+        hist_seg, gath(sy), gath(ty), gath(sx), gath(tx), pidx_j,
+        n_out=Z, out_h=height, out_w=w_pad,
+        tile_v=128 // ss, scale_min=(2.0 / 3.0) / ss,
+        interpret=_pallas_interpret())
+    return out[:, :, :width]
 
 
 def _sweep_planes(hist, centers, depths, z0, vcam_params, width, height,

@@ -67,9 +67,39 @@ STRIPE_DEPTHS = (5.0, 8.0, 12.0, 20.0, 6.0, 10.0, 16.0, 7.0)
 SEED = 20260819
 
 
-def dsec_like_camera() -> PinholeCamera:
-    return PinholeCamera(width=WIDTH, height=HEIGHT, fx=FX, fy=FX,
-                         cx=WIDTH / 2 - 0.5, cy=HEIGHT / 2 - 0.5)
+@dataclasses.dataclass(frozen=True)
+class GoldenConfig:
+    """Dimension/effort profile of the golden fixture.  FULL is the
+    committed DSEC-scale anchor; SMALL is the fast CI tier (same real pose
+    window, same stripe scene, same FOV — fx scales with width) whose
+    gates run in seconds instead of minutes (tests/test_golden_fast.py)."""
+
+    width: int = WIDTH
+    height: int = HEIGHT
+    fx: float = FX
+    dim_z: int = DIM_Z
+    n_samples: int = 24
+    n_per_stripe: int = 4000
+    max_events: int = 262_144
+    npz_name: str = "golden_dsec.npz"
+
+    @property
+    def pad_px(self) -> float:
+        """Scene overscan beyond the stripe/image edge, in this profile's
+        pixels (80 px at full DSEC resolution)."""
+        return 80.0 * self.width / WIDTH
+
+
+FULL = GoldenConfig()
+SMALL = GoldenConfig(width=320, height=240, fx=FX / 2, dim_z=50,
+                     n_samples=16, n_per_stripe=1500, max_events=65_536,
+                     npz_name="golden_dsec_small.npz")
+
+
+def dsec_like_camera(cfg: GoldenConfig = FULL) -> PinholeCamera:
+    return PinholeCamera(width=cfg.width, height=cfg.height, fx=cfg.fx,
+                         fy=cfg.fx, cx=cfg.width / 2 - 0.5,
+                         cy=cfg.height / 2 - 0.5)
 
 
 def golden_trajectories() -> Tuple[trajmod.Trajectory, trajmod.Trajectory]:
@@ -95,16 +125,20 @@ class GoldenScene:
     T_w_rv: SE3              # reference-view pose (left cam at window mid)
     gt_depth: np.ndarray     # (H, W) analytic RV depth (stripe planes)
     stripe_depths: Tuple[float, ...]
+    cfg: GoldenConfig = FULL
 
 
-def make_golden_scene(n_per_stripe: int = 4000,
-                      seed: int = SEED) -> GoldenScene:
+def make_golden_scene(n_per_stripe: Optional[int] = None,
+                      seed: int = SEED,
+                      cfg: GoldenConfig = FULL) -> GoldenScene:
     """Stripe-plane scene anchored at the RV (left camera at the window
     midpoint): for stripe s covering image columns [s*W/S, (s+1)*W/S), points
     are sampled on the plane z_rv = STRIPE_DEPTHS[s] across a slightly
     padded pixel extent (so camera motion never uncovers the stripe edge),
     then mapped to world coordinates through T_w_rv."""
-    cam = dsec_like_camera()
+    if n_per_stripe is None:
+        n_per_stripe = cfg.n_per_stripe
+    cam = dsec_like_camera(cfg)
     traj0, _ = golden_trajectories()
     ts_mid = WINDOW_LEN_S / 2.0
     T_w_rv, valid = trajmod.pose_at(traj0, np.float32(ts_mid))
@@ -112,14 +146,14 @@ def make_golden_scene(n_per_stripe: int = 4000,
 
     rng = np.random.default_rng(seed)
     S = len(STRIPE_DEPTHS)
-    stripe_w = WIDTH / S
-    pad = 80.0  # px of overscan beyond the stripe/image edge
+    stripe_w = cfg.width / S
+    pad = cfg.pad_px  # px of overscan beyond the stripe/image edge
     pts_rv: List[np.ndarray] = []
     for s, depth in enumerate(STRIPE_DEPTHS):
         u = rng.uniform(s * stripe_w - (pad if s == 0 else 2.0),
                         (s + 1) * stripe_w + (pad if s == S - 1 else 2.0),
                         n_per_stripe)
-        v = rng.uniform(-pad, HEIGHT + pad, n_per_stripe)
+        v = rng.uniform(-pad, cfg.height + pad, n_per_stripe)
         x = (u - cam.cx) / cam.fx * depth
         y = (v - cam.cy) / cam.fy * depth
         pts_rv.append(np.stack([x, y, np.full_like(x, depth)], axis=-1))
@@ -127,12 +161,12 @@ def make_golden_scene(n_per_stripe: int = 4000,
     pts_w = np.asarray(se3.transform_points(T_w_rv, pts.astype(np.float32)),
                        np.float64)
 
-    us = np.arange(WIDTH)
+    us = np.arange(cfg.width)
     stripe_of_col = np.minimum((us / stripe_w).astype(int), S - 1)
     gt = np.asarray(STRIPE_DEPTHS, np.float32)[stripe_of_col]
-    gt_depth = np.broadcast_to(gt[None, :], (HEIGHT, WIDTH)).copy()
+    gt_depth = np.broadcast_to(gt[None, :], (cfg.height, cfg.width)).copy()
     return GoldenScene(pts_w=pts_w, T_w_rv=T_w_rv, gt_depth=gt_depth,
-                       stripe_depths=STRIPE_DEPTHS)
+                       stripe_depths=STRIPE_DEPTHS, cfg=cfg)
 
 
 def gt_depth_at_pose(scene: GoldenScene, T_w_c: SE3,
@@ -157,7 +191,7 @@ def gt_depth_at_pose(scene: GoldenScene, T_w_c: SE3,
     this stands in for never evaluates such pixels because LiDAR GT and
     event texture coexist only in the stereo-visible field.
     """
-    cam = dsec_like_camera()
+    cam = dsec_like_camera(scene.cfg)
     T_rv_c = se3.compose(se3.inverse(scene.T_w_rv), T_w_c)
     R = np.asarray(se3.quat_to_matrix(T_rv_c.q), np.float64)
     o = np.asarray(T_rv_c.t, np.float64)
@@ -169,8 +203,8 @@ def gt_depth_at_pose(scene: GoldenScene, T_w_c: SE3,
     d_rv = d_cam @ R.T
 
     S = len(scene.stripe_depths)
-    stripe_w = WIDTH / S
-    pad = 80.0
+    stripe_w = scene.cfg.width / S
+    pad = scene.cfg.pad_px
     best = np.full((cam.height, cam.width), np.inf)
     hits = np.zeros((cam.height, cam.width), np.int32)
     for s, z_s in enumerate(scene.stripe_depths):
@@ -182,7 +216,7 @@ def gt_depth_at_pose(scene: GoldenScene, T_w_c: SE3,
             u_rv = cam.fx * X[..., 0] / z_s + cam.cx
             v_rv = cam.fy * X[..., 1] / z_s + cam.cy
         ok = ((tt > min_t) & (u_rv >= lo) & (u_rv <= hi)
-              & (v_rv >= -pad) & (v_rv <= HEIGHT + pad))
+              & (v_rv >= -pad) & (v_rv <= scene.cfg.height + pad))
         hits += ok.astype(np.int32)
         best = np.where(ok & (tt < best), tt, best)
     gt = np.where((hits == 1) & np.isfinite(best), best, 0.0)
@@ -250,9 +284,10 @@ def simulate_events_se3(
 
 
 def build_golden_fixture(
-    n_samples: int = 24,
-    n_per_stripe: int = 4000,
-    max_events: Optional[int] = 262_144,
+    n_samples: Optional[int] = None,
+    n_per_stripe: Optional[int] = None,
+    max_events: Optional[int] = -1,
+    cfg: GoldenConfig = FULL,
 ):
     """(mappers, events, trajs, scene, ts_rv) — the full golden problem.
 
@@ -269,18 +304,23 @@ def build_golden_fixture(
         cpu = jax.devices("cpu")[0]
     except RuntimeError:  # cpu platform not initialized: already default
         cpu = None
+    if n_samples is None:
+        n_samples = cfg.n_samples
+    if max_events == -1:
+        max_events = cfg.max_events
     ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
     with ctx:
-        cam = dsec_like_camera()
+        cam = dsec_like_camera(cfg)
         traj0, traj1 = golden_trajectories()
-        scene = make_golden_scene(n_per_stripe=n_per_stripe)
+        scene = make_golden_scene(n_per_stripe=n_per_stripe, cfg=cfg)
         rng = np.random.default_rng(SEED + 1)
         t_range = (0.02, WINDOW_LEN_S - 0.02)
         ev0 = simulate_events_se3(cam, traj0, scene.pts_w, n_samples,
                                   t_range, rng, max_events)
         ev1 = simulate_events_se3(cam, traj1, scene.pts_w, n_samples,
                                   t_range, rng, max_events)
-    shape = DsiShape(dim_z=DIM_Z, min_depth=MIN_DEPTH, max_depth=MAX_DEPTH)
+    shape = DsiShape(dim_z=cfg.dim_z, min_depth=MIN_DEPTH,
+                     max_depth=MAX_DEPTH)
     mappers = [make_mapper(cam, shape, DEPTH_SAMPLING),
                make_mapper(cam, shape, DEPTH_SAMPLING)]
     return mappers, [ev0, ev1], [traj0, traj1], scene, WINDOW_LEN_S / 2.0
@@ -294,7 +334,8 @@ class _nullcontext:
         return False
 
 
-def production_backend_spec(events, packet_size: int, use_pallas: bool) -> str:
+def production_backend_spec(events, packet_size: int, use_pallas: bool,
+                            cfg: GoldenConfig = FULL) -> str:
     """EXACTLY the spec cli.py's auto path selects for this fixture (same
     helper, same travel estimate)."""
     from ..ops.voting_hist import auto_backend_spec
@@ -306,11 +347,13 @@ def production_backend_spec(events, packet_size: int, use_pallas: bool) -> str:
     span = min(WINDOW_LEN_S, total_t)
     chunk_travel = travel * (span / total_t)
     n_pk = max(1, min(e.num for e in events) // packet_size)
-    return auto_backend_spec(chunk_travel, n_pk, FX, MIN_DEPTH, MAX_DEPTH,
-                             DIM_Z, use_pallas)
+    return auto_backend_spec(chunk_travel, n_pk, cfg.fx, MIN_DEPTH,
+                             MAX_DEPTH, cfg.dim_z, use_pallas)
 
 
 GOLDEN_NPZ = os.path.join(_REPO, "tests", "golden", "golden_dsec.npz")
+GOLDEN_SMALL_NPZ = os.path.join(_REPO, "tests", "golden",
+                                "golden_dsec_small.npz")
 
 # Explicit error budget gating the production spec (and the 8-device sharded
 # mesh run) against the committed exact-scatter golden artifacts.

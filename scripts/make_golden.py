@@ -29,6 +29,63 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def make_small():
+    """Generate the fast-tier reduced-dim anchor (golden.SMALL profile,
+    tests/test_golden_fast.py): exact-scatter vote + extraction, index/mass
+    artifacts only — the full-dim fixture keeps the metric protocol."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from dvs_mcemvs_tpu import pipeline
+    from dvs_mcemvs_tpu.mapper import get_depth_map
+    from dvs_mcemvs_tpu.ops import extract
+    from dvs_mcemvs_tpu.utils import golden
+
+    t0 = time.time()
+    cfg = golden.SMALL
+    mappers, events, trajs, scene, ts_rv = golden.build_golden_fixture(cfg=cfg)
+    print(f"small fixture: {[e.num for e in events]} events, "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+
+    vopts = pipeline.VotingOptions(packet_size=1024, backend="scatter",
+                                   pad_policy="bucket", sync=True)
+    res = pipeline.process_1(mappers, events, trajs, ts_rv,
+                             stereo_fusion=2, vopts=vopts)
+    dm = get_depth_map(mappers[0], res.fused_dsi, extract.DepthMapOptions())
+
+    m = np.asarray(dm.mask) > 0
+    rel = float(np.median(np.abs(np.asarray(dm.depth)[m] - scene.gt_depth[m])
+                          / scene.gt_depth[m]))
+    assert rel < golden.BUDGET["gt_median_rel_err"], \
+        f"small anchor itself off GT: median rel {rel}"
+
+    meta = dict(
+        seed=golden.SEED, dim=[cfg.dim_z, cfg.height, cfg.width],
+        min_depth=golden.MIN_DEPTH, max_depth=golden.MAX_DEPTH,
+        events=[int(e.num) for e in events], backend="scatter",
+        packet_size=1024, stereo_fusion=2, ts_rv=ts_rv,
+        gt_median_rel_err=rel,
+        pose_source="data/DSEC/zurich_city_04_pose.npz",
+        window_offset_s=golden.WINDOW_OFFSET_S,
+        window_len_s=golden.WINDOW_LEN_S)
+    os.makedirs(os.path.dirname(golden.GOLDEN_SMALL_NPZ), exist_ok=True)
+    np.savez_compressed(
+        golden.GOLDEN_SMALL_NPZ,
+        depth_indices=np.asarray(dm.depth_indices, np.int16),
+        mask=np.asarray(dm.mask, np.uint8),
+        confidence=np.asarray(dm.confidence, np.float32),
+        depth=np.asarray(dm.depth, np.float32),
+        cam_mass=np.asarray(
+            [np.asarray(res.dsis[f"camera{c}"], np.float64).sum()
+             for c in range(2)]),
+        gt_depth=scene.gt_depth.astype(np.float32),
+        meta=json.dumps(meta))
+    print(f"small golden npz written "
+          f"({os.path.getsize(golden.GOLDEN_SMALL_NPZ)//1024} KiB), "
+          f"gt median rel {rel:.4f}, {time.time()-t0:.1f}s", file=sys.stderr)
+    return 0
+
+
 def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -169,11 +226,11 @@ def main():
     # Gates: consolidated median (the BASELINE 5 % stand-in) PLUS mean and
     # bad-p, so a drift that leaves the median alone still fails (VERDICT
     # r3 weak #7).  Anchor measured (exact scatter, 6 frames, 2026-08):
-    # mean 1.40 m, bad_p 0.220, median_rel 0.014 — gates sit above with
-    # regression margin (the fat tail is stereo-marginal far stripes at
-    # chunk scale, present in any backend; a real regression — lost votes,
-    # broken fusion, mask drift — moves all three at once).
-    mf["gates"] = {"median_rel_err": 0.05, "mean_err": 1.8, "bad_p": 0.30,
+    # mean 1.40 m, bad_p 0.220, median_rel 0.014 — gates tightened r5
+    # (VERDICT r4 weak #6: 1.8/0.30 left a quarter-worse regression
+    # passable) to measured + ~15 % margin; a real regression — lost
+    # votes, broken fusion, mask drift — moves all three at once.
+    mf["gates"] = {"median_rel_err": 0.05, "mean_err": 1.6, "bad_p": 0.25,
                    "min_frames": 5}
     mf["pass"] = bool(
         mf["median_rel_err"] < mf["gates"]["median_rel_err"]
@@ -191,4 +248,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(make_small() if "--small" in sys.argv[1:] else main())

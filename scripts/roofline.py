@@ -105,10 +105,12 @@ def stage_models(spec_kw, *, width, height, dim_z, n_events, packet,
     kernels/binning_pallas.py, kernels/resample_pallas.py):
       * binning: windowed kernel, per event block one (strips*WH, EB)
         x (ws, EB)^T matmul; `strips_mean` comes from the real sorted data.
-      * merge: butterfly levels radix-4 (at most one radix-2); each level
-        is N_leaves resamples per RANGE — input blocks are re-fetched once
-        per child range (the measured redundancy this model makes visible).
-      * sweep: Z planes x (G/S) histogram fetches, one banded resample each.
+      * merge: butterfly levels radix-4 (at most one radix-2) on the fan-in
+        kernel — each level fetches every parent block exactly once (the
+        pre-r5 kernel re-fetched each parent once per child range).
+      * sweep: fan-in kernel — each segment's (K, hs, ws) supergroup block
+        is fetched once and stays resident across its planes; ragged
+        segments pad to ceil(Z/S) planes with idempotent duplicates.
     Tap-construction VPU work is reported separately (vpu_ops) — it rides
     the roofline as neither MACs nor HBM.
     """
@@ -155,19 +157,20 @@ def stage_models(spec_kw, *, width, height, dim_z, n_events, packet,
     mg_macs = mg_bytes = mg_vpu = 0
     per_resample, per_vpu = resample_cost(hs, ws, scale_min=0.9)
     for radix in radii:
-        n_resamples = G  # R*N*K == G at every level
+        n_resamples = radix * G  # G children per level, radix parents each
         mg_macs += n_resamples * per_resample
         mg_vpu += n_resamples * per_vpu
-        mg_bytes += (n_resamples * hs * ws * 2   # input fetch per (range, k)
+        mg_bytes += (G * hs * ws * 2             # every parent fetched once
                      + G * hs * ws * 2)          # level output
     # --- sweep ------------------------------------------------------------
     K = max(G // S, 1)
     w_pad = width + (-width % 128)
+    planes = S * -(-dim_z // S)                  # ragged-segment padding
     per_resample, per_vpu = resample_cost(height, w_pad, scale_min=2.0 / 3.0)
-    sw_macs = dim_z * K * per_resample
-    sw_vpu = dim_z * K * per_vpu
-    sw_bytes = (dim_z * K * hs * ws * 2          # hist fetch per (plane, k)
-                + dim_z * height * w_pad * 4)    # f32 DSI out
+    sw_macs = planes * K * per_resample
+    sw_vpu = planes * K * per_vpu
+    sw_bytes = (G * hs * ws * 2                  # each supergroup block once
+                + planes * height * w_pad * 4)   # f32 DSI out (incl. dups)
 
     warp_bytes = (3 * 4 * n_events               # x, y, t in
                   + 2 * 4 * n_events)            # xy_z0 out
@@ -274,14 +277,9 @@ def build_stages(spec):
 
     @jax.jit
     def sweep(hist_seg, centers_s):
-        parts = []
-        for s in range(segments):
-            i0, i1 = bounds[s], bounds[s + 1]
-            parts.append(vh._sweep_planes(
-                hist_seg[s].astype(jnp.bfloat16), centers_s,
-                depths[i0:i1], z0, vp, mapper.width, mapper.height,
-                pad_x, pad_y, ss, min(7, i1 - i0), jnp.bfloat16, "pallas"))
-        return jnp.concatenate(parts, axis=0)
+        return vh._sweep_planes_fanin(
+            hist_seg, centers_s, depths, bounds, z0, vp,
+            mapper.width, mapper.height, pad_x, pad_y, ss)
 
     full = bench.make_step(mapper, traj, T_rv_w, spec, 7)
 
@@ -305,33 +303,25 @@ def build_stages(spec):
     return stages, meta
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--spec", default="hist:g16,seg16,bf,pl")
-    ap.add_argument("--min-time", type=float, default=1.5,
-                    help="seconds per timed region (RTT noise floor)")
-    ap.add_argument("--json", default="",
-                    help="write the report to this path as JSON")
-    ap.add_argument("--skip-peaks", action="store_true",
-                    help="reuse cached peak numbers (debugging)")
-    args = ap.parse_args(argv)
-
+def run(spec="hist:g16,seg16,bf,pl", min_time=1.5, skip_peaks=False):
+    """Measure + model; returns the report dict (bench.py embeds a condensed
+    version as its `mfu` detail block)."""
     import jax
 
     import bench
 
-    timeit, rtt = make_timer(args.min_time)
+    timeit, rtt = make_timer(min_time)
     print(f"device={jax.default_backend()} rtt={rtt*1e3:.1f} ms",
           file=sys.stderr)
 
-    if args.skip_peaks:
-        peak_tflops, peak_gbs = 197.0, 819.0  # v5e datasheet fallback
+    if skip_peaks:
+        peak_tflops, peak_gbs = 182.9, 659.0  # this chip, measured 2026-08
     else:
         peak_tflops, peak_gbs = measure_peaks(timeit)
     print(f"peaks: {peak_tflops:.1f} TFLOP/s bf16, {peak_gbs:.0f} GB/s",
           file=sys.stderr)
 
-    stages, meta = build_stages(args.spec)
+    stages, meta = build_stages(spec)
     models = stage_models(
         {"group": meta["group"], "segments": meta["segments"]},
         width=bench.WIDTH, height=bench.HEIGHT, dim_z=bench.DIM_Z,
@@ -369,7 +359,7 @@ def main(argv=None):
                      + rows["sort"]["ms"])  # sort has no tight model: measured
     report = {
         "device": str(jax.devices()[0]),
-        "spec": args.spec,
+        "spec": spec,
         "workload": {"events": bench.N_EVENTS,
                      "dsi": [bench.DIM_Z, bench.HEIGHT, bench.WIDTH],
                      "grid": models["grid"], "leaves": models["leaves"],
@@ -393,6 +383,21 @@ def main(argv=None):
                     "FLOP/byte bound)",
         },
     }
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spec", default="hist:g16,seg16,bf,pl")
+    ap.add_argument("--min-time", type=float, default=1.5,
+                    help="seconds per timed region (RTT noise floor)")
+    ap.add_argument("--json", default="",
+                    help="write the report to this path as JSON")
+    ap.add_argument("--skip-peaks", action="store_true",
+                    help="reuse cached peak numbers (debugging)")
+    args = ap.parse_args(argv)
+    report = run(spec=args.spec, min_time=args.min_time,
+                 skip_peaks=args.skip_peaks)
     print(json.dumps(report))
     if args.json:
         with open(args.json, "w") as f:

@@ -73,6 +73,13 @@ def _kernel(src_ref, sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
     max_bx = -(-ws // QU)
 
     # --- y stage: resy[v, :] = sum_q hat(q*sy + ty - v) * hist[q, :] ------
+    # resy holds the intermediate in acc_dtype (bf16 for bf16 inputs): the
+    # x-stage matmul consumes it at acc_dtype anyway, and the kernel is
+    # VMEM-traffic-bound (measured ~2 TB/s effective on v5e), so halving
+    # the intermediate's bytes buys more than the (already-present)
+    # f32->bf16 rounding costs.  Strip 0 writes its tile DIRECTLY (n_by is
+    # always >= 1), killing the zero-init pass + read-modify-write of the
+    # common single-strip case.
     n_vt = -(-Ho // TV)
     for vt in range(n_vt):
         v0 = min(vt * TV, Ho - TV)  # tail tile overlaps by recompute
@@ -84,11 +91,8 @@ def _kernel(src_ref, sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
         q_end = jnp.clip(q_end, q_start + 1, hs)
         n_by = (q_end - q_start + QV - 1) // QV
 
-        resy[pl.ds(v0, TV), :] = jnp.zeros((TV, resy.shape[1]),
-                                           jnp.float32)
         for b in range(max_by):
-            @pl.when(b < n_by)
-            def _():
+            def strip(b=b):
                 q_nom = q_start + b * QV  # 8-aligned by construction
                 # Clip the READ start; mask re-read rows of earlier strips.
                 q_lo = jnp.minimum(q_nom, hs - QV)
@@ -101,10 +105,19 @@ def _kernel(src_ref, sy_ref, ty_ref, sx_ref, tx_ref, hist_ref, out_ref, resy,
                 taps = jnp.maximum(0.0, 1.0 - jnp.abs(qf * sy + ty - vv))
                 taps = jnp.where(valid, taps, 0.0)
                 band = hist_ref[0, pl.ds(q_lo, QV), :]
-                resy[pl.ds(v0, TV), :] += jax.lax.dot_general(
+                acc = jax.lax.dot_general(
                     taps.astype(acc_dtype), band.astype(acc_dtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if b == 0:
+                    resy[pl.ds(v0, TV), :] = acc.astype(resy.dtype)
+                else:
+                    resy[pl.ds(v0, TV), :] += acc.astype(resy.dtype)
+
+            if b == 0:
+                strip()
+            else:
+                pl.when(b < n_by)(strip)
 
     # --- x stage: out[:, u] += sum_p hat(p*sx + tx - u) * resy[:, p] ------
     tgt = out_ref if acc is None else acc
@@ -184,6 +197,7 @@ def _kernel_fanin(oidx_ref, sy_ref, ty_ref, sx_ref, tx_ref, blocks_ref,
         inv_sx = 1.0 / sx
 
         # --- y stage: resy = Ry^T @ blocks[k] --------------------------
+        # (acc_dtype intermediate + direct first-strip write: see _kernel)
         for vt in range(n_vt):
             v0 = min(vt * TV, Ho - TV)
             q_start = jnp.floor((v0 - 1 - ty) * inv_sy).astype(jnp.int32)
@@ -193,11 +207,9 @@ def _kernel_fanin(oidx_ref, sy_ref, ty_ref, sx_ref, tx_ref, blocks_ref,
             q_end = jnp.clip(q_end, q_start + 1, hs)
             n_by = (q_end - q_start + QV - 1) // QV
 
-            resy[pl.ds(v0, TV), :] = jnp.zeros((TV, resy.shape[1]),
-                                               jnp.float32)
             for b in range(max_by):
-                @pl.when(b < n_by)
-                def _():
+                def strip(b=b, k=k, v0=v0, q_start=q_start, n_by=n_by,
+                          sy=sy, ty=ty):
                     q_nom = q_start + b * QV
                     q_lo = jnp.minimum(q_nom, hs - QV)
                     q_lo = pl.multiple_of((q_lo // 8) * 8, 8)
@@ -208,11 +220,23 @@ def _kernel_fanin(oidx_ref, sy_ref, ty_ref, sx_ref, tx_ref, blocks_ref,
                         jnp.int32, (QV, TV), 1).astype(jnp.float32) + float(v0)
                     taps = jnp.maximum(0.0, 1.0 - jnp.abs(qf * sy + ty - vv))
                     taps = jnp.where(valid, taps, 0.0)
-                    band = blocks_ref[0, k, pl.ds(q_lo, QV), :]
-                    resy[pl.ds(v0, TV), :] += jax.lax.dot_general(
+                    # blocks arrive k-flattened (1, K*hs, ws): the row
+                    # offset k*hs is static per unrolled k, so this is the
+                    # same fast-path 2D dynamic slice as _kernel's.
+                    band = blocks_ref[0, pl.ds(k * hs + q_lo, QV), :]
+                    acc_y = jax.lax.dot_general(
                         taps.astype(acc_dtype), band.astype(acc_dtype),
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                    if b == 0:
+                        resy[pl.ds(v0, TV), :] = acc_y.astype(resy.dtype)
+                    else:
+                        resy[pl.ds(v0, TV), :] += acc_y.astype(resy.dtype)
+
+                if b == 0:
+                    strip()
+                else:
+                    pl.when(b < n_by)(strip)
 
         # --- x stage: tgt += resy @ Cx ---------------------------------
         for ut in range(Wo // TU):
@@ -318,14 +342,14 @@ def banded_resample_fanin(
     kern = functools.partial(
         _kernel_fanin, Ho=out_h, Wo=out_w, hs=hs, ws=ws,
         TV=TV, TU=TU, QV=QV, QU=QU, acc_dtype=acc_dtype, K=K)
-    scratch = [pltpu.VMEM((out_h, ws), jnp.float32)]
+    scratch = [pltpu.VMEM((out_h, ws), acc_dtype)]
     if bf16_out:
         scratch.append(pltpu.VMEM((out_h, out_w), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,  # out_idx, sy, ty, sx, tx as SMEM arrays
         grid=(Ngrp, M),
         in_specs=[
-            pl.BlockSpec((1, K, hs, ws), lambda g, m, *refs: (g, 0, 0, 0),
+            pl.BlockSpec((1, K * hs, ws), lambda g, m, *refs: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -342,7 +366,7 @@ def banded_resample_fanin(
         interpret=interpret,
     )(out_idx.astype(jnp.int32), sy.astype(jnp.float32),
       ty.astype(jnp.float32), sx.astype(jnp.float32),
-      tx.astype(jnp.float32), blocks)
+      tx.astype(jnp.float32), blocks.reshape(Ngrp, K * hs, ws))
 
 
 @functools.partial(
@@ -426,7 +450,7 @@ def banded_resample_sum(
     kern = functools.partial(
         _kernel, Ho=out_h, Wo=out_w, hs=hs, ws=ws,
         TV=TV, TU=TU, QV=QV, QU=QU, acc_dtype=acc_dtype, K=K)
-    scratch = [pltpu.VMEM((out_h, ws), jnp.float32)]
+    scratch = [pltpu.VMEM((out_h, ws), acc_dtype)]
     if bf16_out:
         scratch.append(pltpu.VMEM((out_h, out_w), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(

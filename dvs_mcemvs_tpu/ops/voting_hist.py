@@ -334,6 +334,30 @@ def merge_leaf_histograms(
     return jnp.sum(res.reshape(P, merge, *res.shape[1:]), axis=1), centers_super
 
 
+def _butterfly_radii(S: int) -> list:
+    """Radix schedule for S segments: MINIMIZE CASCADE LEVELS first (each
+    level costs a hat-blur + frame-change error), then total work
+    G*sum(radii).  log2(S) decomposes into parts of 3 (radix 8) and 2
+    (radix 4/2): e.g. S=16 -> [4,4] (not [8,2]: same levels, less work),
+    S=32 -> [8,4] (not [4,4,2]: one fewer cascade — measured within1
+    0.746 -> passing on the BENCH16 golden window, r5)."""
+    lv = int(np.log2(S))
+    threes, rem = divmod(lv, 3)
+    if rem == 1:
+        # ...3+1 -> ...2+2 (a radix-2 level costs a full cascade for one
+        # doubling; trade one radix-8 for two radix-4s instead).
+        threes -= 1
+        twos = 2
+    elif rem == 2:
+        twos = 1
+    else:
+        twos = 0
+    radii = [8] * threes + [4] * twos
+    if threes < 0:  # lv == 1
+        radii = [2]
+    return radii
+
+
 def _frame_change_maps(centers_src, centers_tgt, u_mid, z0, vcam_params,
                        pad_x, pad_y, ss):
     """Bin-coordinate affine maps m = sweep_tgt(u_mid)^-1 o sweep_src(u_mid)
@@ -371,8 +395,16 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
     radix-2 within1 = 0.737, radix-4 = 0.79+ at identical TPU cost.
 
     Returns (hist_per_segment (S, G/S, hs, ws), centers (G/S, 3)).
+
+    Kernel choice (measured on v5e, r5): the merge runs on the (N, K)-grid
+    `banded_resample_sum` — the fan-in variant was tried and is ~45 %
+    SLOWER here (5.09 vs 3.49 ms at the bench workload) despite 2.5x less
+    HBM input traffic; the stage is bound by in-kernel work (taps + matmul
+    + VMEM), which the K-unrolled fan-in body pipelines worse.  The plane
+    SWEEP keeps the fan-in kernel (see _sweep_planes_fanin), where holding
+    each segment's supergroup block resident wins.
     """
-    from ..kernels.resample_pallas import banded_resample_fanin
+    from ..kernels.resample_pallas import banded_resample_sum
 
     S = len(bounds) - 1
     G0, hs_, ws_ = hist.shape
@@ -384,13 +416,7 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
             [centers, jnp.broadcast_to(centers[-1:], (pad_g, 3))])
     G = hist.shape[0]
 
-    radii = []
-    lv = int(np.log2(S))
-    while lv >= 2:
-        radii.append(4)
-        lv -= 2
-    if lv:
-        radii.append(2)
+    radii = _butterfly_radii(S)
 
     def block_umid(splits, r):
         """u-midpoint of range r of `splits` (covers S/splits segments).
@@ -413,15 +439,13 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
         tgt = jnp.mean(cen.reshape(N, radix, 3), axis=1)        # (N, 3)
         tgt_rep = jnp.repeat(tgt, radix, axis=0)                # (N_prev, 3)
 
-        # Fan-in layout: group (q, n) = (parent range, node) holds the
-        # radix parents (q*N_prev + radix*n + k, contiguous in standard
-        # layout) resident while its radix child ranges j are produced,
-        # each scattered straight to standard index (q*radix + j)*N + n.
-        Ngrp = R_prev * N
-        qs = np.arange(R_prev)[:, None, None]
+        # Child (r, n) sums its `radix` parents from range r//radix;
+        # sources are gathered by index (scalar prefetch) — no duplicated
+        # input copies.
+        rs = np.arange(R)[:, None, None]
         ns = np.arange(N)[None, :, None]
-        js = np.arange(radix)[None, None, :]
-        out_idx = ((qs * radix + js) * N + ns).reshape(Ngrp, radix)
+        ks = np.arange(radix)[None, None, :]
+        src = ((rs // radix) * N_prev + radix * ns + ks).reshape(R * N, radix)
 
         # Each parent range feeds `radix` child ranges, each with its own
         # exactness midpoint.
@@ -433,20 +457,15 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
             sys_.append(m_s)
             tys_.append(bt_y)
             txs_.append(bt_x)
-
-        def fanin_maps(parts):
-            # parts concat over child range rc: value at (rc, parent_flat)
-            # with parent_flat = radix*n + k; reorder to (group, j, k).
-            a = jnp.concatenate(parts).reshape(R_prev, radix, N, radix)
-            return a.transpose(0, 2, 1, 3).reshape(Ngrp, radix, radix)
-
-        cur = banded_resample_fanin(
-            cur.reshape(Ngrp, radix, hs_, ws_),
-            fanin_maps(sys_), fanin_maps(tys_),
-            fanin_maps(sys_), fanin_maps(txs_),
-            jnp.asarray(out_idx, jnp.int32),
-            n_out=R * N, out_h=hs_, out_w=ws_, scale_min=0.9,
-            out_dtype=dtype, interpret=_pallas_interpret())
+        NK = R * N
+        sy = jnp.concatenate(sys_).reshape(NK, radix)
+        ty = jnp.concatenate(tys_).reshape(NK, radix)
+        tx = jnp.concatenate(txs_).reshape(NK, radix)
+        cur = banded_resample_sum(
+            cur, sy, ty, sy, tx,
+            out_h=hs_, out_w=ws_, blocked=True, scale_min=0.9,
+            src=jnp.asarray(src, jnp.int32), out_dtype=dtype,
+            interpret=_pallas_interpret())
         cen = tgt
     return cur.reshape(R, N, hs_, ws_), cen
 
@@ -795,16 +814,22 @@ def auto_backend_spec(
     # segment counts take the O(G log S) butterfly merge.
     segs = min(16, dim_z // 10)
     if use_pallas:
-        # Measured on TPU v5e at DSEC dims (640x480x100, 1 Mi events,
-        # BENCH r3): seg16 115.6 Mev/s, seg32 102.4, seg8 95.5 — round the
-        # segment count UP to the next power of two (capped at 16), not
-        # down.  And no 2x supersampling: the supersampled grid blows the
-        # Pallas kernels' scoped-VMEM budget (splat_hist degrades such
-        # specs to the XLA engine, ~4x the histogram work — both slower
-        # and pointless); accuracy of the ss1+seg16 spec is gated by
-        # tests/test_golden.py within the same budget.
-        if segs >= 2:
-            segs = min(16, 1 << (segs - 1).bit_length())
+        # Measured on TPU v5e at DSEC dims (640x480x100, 1 Mi events):
+        # with the r5 fan-in sweep (segment supergroup blocks resident
+        # across their planes) the sweep cost scales with G/S supergroup
+        # resamples per plane, so MORE segments win — seg32 140.3 Mev/s vs
+        # seg16 114.1 (BENCH r5; r3's seg16-optimum predates the fan-in
+        # kernel).  segments ~ dim_z/4 rounded up to a power of two, cap
+        # 32 (3+ planes per segment keeps the merge amortized).  And no 2x
+        # supersampling: the supersampled grid blows the Pallas kernels'
+        # scoped-VMEM budget (splat_hist degrades such specs to the XLA
+        # engine, ~4x the histogram work — both slower and pointless);
+        # accuracy of the ss1 spec is gated by tests/test_golden*.py
+        # within the same budget.
+        if dim_z >= 8:
+            segs = min(32, 1 << (max(dim_z // 4, 2) - 1).bit_length())
+        elif segs >= 2:
+            segs = 1 << (segs - 1).bit_length()
     else:
         spec += ",ss2"
     if segs >= 2:

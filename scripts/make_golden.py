@@ -29,10 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_small():
-    """Generate the fast-tier reduced-dim anchor (golden.SMALL profile,
-    tests/test_golden_fast.py): exact-scatter vote + extraction, index/mass
-    artifacts only — the full-dim fixture keeps the metric protocol."""
+def make_aux(cfg, npz_path, label):
+    """Generate an auxiliary exact-scatter anchor for a GoldenConfig
+    profile: index/mass artifacts only — the FULL fixture keeps the metric
+    protocol.  Used for golden.SMALL (fast CI tier,
+    tests/test_golden_fast.py) and golden.BENCH16 (the g16-travel window
+    the on-device bench gate scores the literal headline spec against)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -42,9 +44,8 @@ def make_small():
     from dvs_mcemvs_tpu.utils import golden
 
     t0 = time.time()
-    cfg = golden.SMALL
     mappers, events, trajs, scene, ts_rv = golden.build_golden_fixture(cfg=cfg)
-    print(f"small fixture: {[e.num for e in events]} events, "
+    print(f"{label} fixture: {[e.num for e in events]} events, "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
 
     vopts = pipeline.VotingOptions(packet_size=1024, backend="scatter",
@@ -57,7 +58,7 @@ def make_small():
     rel = float(np.median(np.abs(np.asarray(dm.depth)[m] - scene.gt_depth[m])
                           / scene.gt_depth[m]))
     assert rel < golden.BUDGET["gt_median_rel_err"], \
-        f"small anchor itself off GT: median rel {rel}"
+        f"{label} anchor itself off GT: median rel {rel}"
 
     meta = dict(
         seed=golden.SEED, dim=[cfg.dim_z, cfg.height, cfg.width],
@@ -66,11 +67,11 @@ def make_small():
         packet_size=1024, stereo_fusion=2, ts_rv=ts_rv,
         gt_median_rel_err=rel,
         pose_source="data/DSEC/zurich_city_04_pose.npz",
-        window_offset_s=golden.WINDOW_OFFSET_S,
+        window_offset_s=cfg.window_offset_s,
         window_len_s=golden.WINDOW_LEN_S)
-    os.makedirs(os.path.dirname(golden.GOLDEN_SMALL_NPZ), exist_ok=True)
+    os.makedirs(os.path.dirname(npz_path), exist_ok=True)
     np.savez_compressed(
-        golden.GOLDEN_SMALL_NPZ,
+        npz_path,
         depth_indices=np.asarray(dm.depth_indices, np.int16),
         mask=np.asarray(dm.mask, np.uint8),
         confidence=np.asarray(dm.confidence, np.float32),
@@ -80,8 +81,8 @@ def make_small():
              for c in range(2)]),
         gt_depth=scene.gt_depth.astype(np.float32),
         meta=json.dumps(meta))
-    print(f"small golden npz written "
-          f"({os.path.getsize(golden.GOLDEN_SMALL_NPZ)//1024} KiB), "
+    print(f"{label} golden npz written "
+          f"({os.path.getsize(npz_path)//1024} KiB), "
           f"gt median rel {rel:.4f}, {time.time()-t0:.1f}s", file=sys.stderr)
     return 0
 
@@ -247,5 +248,15 @@ def main():
     return 0 if out_report["pass"] else 1
 
 
+def _dispatch(argv):
+    from dvs_mcemvs_tpu.utils import golden
+
+    if "--small" in argv:
+        return make_aux(golden.SMALL, golden.GOLDEN_SMALL_NPZ, "small")
+    if "--bench-window" in argv:
+        return make_aux(golden.BENCH16, golden.GOLDEN_BENCH16_NPZ, "bench16")
+    return main()
+
+
 if __name__ == "__main__":
-    sys.exit(make_small() if "--small" in sys.argv[1:] else main())
+    sys.exit(_dispatch(sys.argv[1:]))

@@ -105,9 +105,10 @@ def stage_models(spec_kw, *, width, height, dim_z, n_events, packet,
     kernels/binning_pallas.py, kernels/resample_pallas.py):
       * binning: windowed kernel, per event block one (strips*WH, EB)
         x (ws, EB)^T matmul; `strips_mean` comes from the real sorted data.
-      * merge: butterfly levels radix-4 (at most one radix-2) on the fan-in
-        kernel — each level fetches every parent block exactly once (the
-        pre-r5 kernel re-fetched each parent once per child range).
+      * merge: butterfly levels radix-4 (at most one radix-2) on the
+        (N, K)-grid kernel — each child fetches its radix parent blocks
+        (a fan-in variant fetching each parent once was measured SLOWER;
+        the stage is in-kernel-bound, see _merge_butterfly docstring).
       * sweep: fan-in kernel — each segment's (K, hs, ws) supergroup block
         is fetched once and stays resident across its planes; ragged
         segments pad to ceil(Z/S) planes with idempotent duplicates.
@@ -147,20 +148,16 @@ def stage_models(spec_kw, *, width, height, dim_z, n_events, packet,
                  + G * hs * ws * 2)          # bf16 hist out
 
     # --- butterfly merge --------------------------------------------------
-    radii = []
-    lv = int(math.log2(S))
-    while lv >= 2:
-        radii.append(4)
-        lv -= 2
-    if lv:
-        radii.append(2)
+    from dvs_mcemvs_tpu.ops.voting_hist import _butterfly_radii
+
+    radii = _butterfly_radii(S)
     mg_macs = mg_bytes = mg_vpu = 0
     per_resample, per_vpu = resample_cost(hs, ws, scale_min=0.9)
     for radix in radii:
         n_resamples = radix * G  # G children per level, radix parents each
         mg_macs += n_resamples * per_resample
         mg_vpu += n_resamples * per_vpu
-        mg_bytes += (G * hs * ws * 2             # every parent fetched once
+        mg_bytes += (n_resamples * hs * ws * 2   # parent fetch per child
                      + G * hs * ws * 2)          # level output
     # --- sweep ------------------------------------------------------------
     K = max(G // S, 1)

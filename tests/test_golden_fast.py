@@ -17,9 +17,13 @@ Regenerate the anchor with `python scripts/make_golden.py --small`.
 """
 
 import json
+import os
+import sys
 
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from dvs_mcemvs_tpu import pipeline
 from dvs_mcemvs_tpu.mapper import get_depth_map
@@ -103,3 +107,32 @@ def test_small_chip_spec(small_fixture):
     via interpret mode — the fast-tier gate on the exact kernels the
     headline benchmark times."""
     _run_and_gate(small_fixture, use_pallas=True, tier="chip")
+
+
+def test_bench16_fixture_selects_headline_spec():
+    """golden.BENCH16's real-pose window must auto-select the SAME backend
+    string as the headline benchmark workload, so bench.py's on-device
+    golden gate scores the LITERAL spec its throughput number times
+    (VERDICT r4 item 4).  Pure host computation — no voting."""
+    import importlib.util
+
+    from dvs_mcemvs_tpu.ops.voting_hist import auto_backend_spec
+
+    spec_mod = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec_mod)
+    sys.modules.setdefault("bench", bench)
+    spec_mod.loader.exec_module(bench)
+
+    headline = auto_backend_spec(
+        0.5, bench.N_EVENTS // bench.PACKET, bench.WIDTH * 0.9,
+        2.0, 40.0, bench.DIM_Z, True)
+
+    class _N:
+        def __init__(self, n):
+            self.num = n
+
+    fixture_spec = golden.production_backend_spec(
+        [_N(golden.BENCH16.max_events)] * 2, 1024, True, cfg=golden.BENCH16)
+    assert fixture_spec == headline, (fixture_spec, headline)
+    assert os.path.exists(golden.GOLDEN_BENCH16_NPZ)

@@ -338,7 +338,10 @@ def full_seq_sustained(backend, plane_block, n_chunks=22, warmup=2,
     H, W = mapper.height, mapper.width
 
     @jax.jit
-    def step(off, ts_k):
+    def step(off, ts_k, x_dev, y_dev, t_dev):
+        # The resident stream rides in as ARGUMENTS: closing over the
+        # device arrays would embed them as HLO constants (an ~84 MB
+        # compile payload — the axon remote-compile service rejects it).
         xs = jax.lax.dynamic_slice(x_dev, (off,), (N_EVENTS,))
         ys = jax.lax.dynamic_slice(y_dev, (off,), (N_EVENTS,))
         tsx = jax.lax.dynamic_slice(t_dev, (off,), (N_EVENTS,))
@@ -396,7 +399,8 @@ def full_seq_sustained(backend, plane_block, n_chunks=22, warmup=2,
         if k == warmup:
             pool.drain()          # warmup chunks fully written
             t_start = time.perf_counter()
-        out = step(jnp.int32(offs[k]), jnp.float32(ts_k))
+        out = step(jnp.int32(offs[k]), jnp.float32(ts_k),
+                   x_dev, y_dev, t_dev)
         pool.submit(save_chunk, k, ts_k, out)
         n_done += 1
     pool.drain()

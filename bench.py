@@ -225,9 +225,22 @@ def _force(out):
     return float(out[(0,) * out.ndim])
 
 
-def time_step(step, dev_args, iters):
+def time_step(step, dev_args, iters=None, min_time=1.2):
+    """Duration-targeted min-of-3 timing: each timed region runs enough
+    iterations to span >= `min_time` seconds, so the tunnel's 25-140 ms
+    dispatch RTT (subtracted once per region) is noise, not signal.  The
+    pre-r5 fixed iteration counts made short regions RTT-dominated — the
+    source of the phantom "seg32 beats seg16" alternatives readings
+    (docs/performance.md)."""
+    import math
+
     out = step(*dev_args)
     _force(out)  # warmup / compile / settle
+    if iters is None:
+        t0 = time.perf_counter()
+        _force(step(*dev_args))
+        dt0 = max(time.perf_counter() - t0 - _tunnel_rtt(), 1e-5)
+        iters = int(np.clip(math.ceil(min_time / dt0), 10, 3000))
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -391,6 +404,17 @@ def full_seq_sustained(backend, plane_block, n_chunks=22, warmup=2,
         outputs.save_depth_maps(depth, conf, mask, min_d, max_d, "fused",
                                 prefix)
 
+    # Context for the committed number: the per-chunk downlink (the 1.5 MB
+    # quantized buffer) rides the host link, whose measured rate bounds
+    # the sustained figure on a tunneled chip regardless of kernel speed.
+    probe = step(jnp.int32(offs[0]), jnp.float32(0.5 * duration),
+                 x_dev, y_dev, t_dev)
+    np.asarray(probe)  # settle
+    t0 = time.perf_counter()
+    buf = np.asarray(step(jnp.int32(offs[0]), jnp.float32(0.5 * duration),
+                          x_dev, y_dev, t_dev))
+    downlink_mb_s = buf.nbytes / 2**20 / max(time.perf_counter() - t0, 1e-9)
+
     pool = SaveWorkerPool()
     n_done = 0
     t_start = None
@@ -417,15 +441,21 @@ def full_seq_sustained(backend, plane_block, n_chunks=22, warmup=2,
             "seconds_per_chunk": round(wall / timed, 4),
             "store_ingest": store_used, "hbm_resident_events": True,
             "artifact_files": n_files,
+            "downlink_mb_per_chunk": round(buf.nbytes / 2**20, 2),
+            "downlink_mb_s": round(downlink_mb_s, 1),
             "includes": "one-time store ingest -> HBM-resident stream, "
                         "device-side chunk windowing, voting, fusion, "
                         "extraction, quantized downlink, saveDepthMaps "
-                        "artifact writes (worker pool)"}
+                        "artifact writes (worker pool)",
+            "note": "on a tunneled chip the per-chunk downlink rate is "
+                    "the sustained ceiling (compute is ~19 ms/chunk); "
+                    "local-attached HBM->host links are 2-3 orders "
+                    "faster"}
 
 
 def golden_gate(spec=None):
     """Run a voting spec on the BENCH16 golden fixture ON THE DEVICE and
-    score it against its committed exact-scatter anchor (utils/golden.BUDGET
+    score it against its committed exact-scatter anchor (BUDGET_BENCH16
     + the BASELINE 5 % metric stand-in) — so the committed perf number is
     taken at certified accuracy (VERDICT r3 item 2).  BENCH16 is the
     zurich_city_04 window whose 0.393 m of real travel auto-selects the
@@ -456,17 +486,18 @@ def golden_gate(spec=None):
     g = np.load(golden.GOLDEN_BENCH16_NPZ)
     gi = np.asarray(g["depth_indices"]).astype(int)
     conf = np.asarray(g["confidence"])
-    sel = conf > np.quantile(conf, golden.BUDGET["confident_quantile"])
+    budget = golden.BUDGET_BENCH16
+    sel = conf > np.quantile(conf, budget["confident_quantile"])
     ei = np.abs(np.asarray(dm.depth_indices).astype(int)[sel] - gi[sel])
     m = np.asarray(dm.mask) > 0
     rel = float(np.median(np.abs(np.asarray(dm.depth)[m] - scene.gt_depth[m])
                           / scene.gt_depth[m]))
     within1, within2 = float(np.mean(ei <= 1)), float(np.mean(ei <= 2))
     med = float(np.median(ei))
-    ok = (within1 >= golden.BUDGET["frac_within_1_plane"]
-          and within2 >= golden.BUDGET["frac_within_2_planes"]
-          and med <= golden.BUDGET["median_err_planes"]
-          and rel < golden.BUDGET["gt_median_rel_err"])
+    ok = (within1 >= budget["frac_within_1_plane"]
+          and within2 >= budget["frac_within_2_planes"]
+          and med <= budget["median_err_planes"]
+          and rel < budget["gt_median_rel_err"])
     return {"spec": spec, "within1": round(within1, 4),
             "within2": round(within2, 4), "median_planes": med,
             "gt_median_rel_err": round(rel, 4), "pass": bool(ok)}
@@ -493,13 +524,11 @@ def main():
                                 2.0, 40.0, DIM_Z, use_pl)
     plane_block = 7
 
-    def timed(maker, spec, pb, iters=5):
+    def timed(maker, spec, pb):
         step = maker(mapper, traj, T_rv_w, spec, pb)
-        return time_step(step, dev_args, iters=iters), step
+        return time_step(step, dev_args), step
 
-    dt0, step = timed(make_step, backend, plane_block)
-    iters = max(10, min(100, int(2.0 / max(dt0, 1e-4))))
-    dt = time_step(step, dev_args, iters=iters)
+    dt, step = timed(make_step, backend, plane_block)
     mev_s = N_EVENTS / dt / 1e6
 
     # Guardrail: if the shipped auto spec falls >10 % behind the best known
@@ -528,18 +557,14 @@ def main():
     # Second metric (VERDICT r2 item 5): the full process_1 chunk —
     # warp -> vote (2 cams) -> HM fuse -> collapse -> extract — on the same
     # shipped spec; this is the span the reference's log times.
-    cdt0, cstep = timed(make_full_chunk_step, backend, plane_block)
-    citers = max(5, min(50, int(2.0 / max(cdt0, 1e-4))))
-    cdt = time_step(cstep, dev_args, iters=citers)
+    cdt, cstep = timed(make_full_chunk_step, backend, plane_block)
     chunk_mev_s = 2 * N_EVENTS / cdt / 1e6
 
     # Temporal flagship (VERDICT r4 item 7): the process_2 chunk on the
     # same spec — 2 sub-intervals, per-sub camera HM fuse, streaming
     # temporal HM, extraction.
     try:
-        adt0, astep = timed(make_alg2_step, backend, plane_block)
-        aiters = max(5, min(50, int(2.0 / max(adt0, 1e-4))))
-        adt = time_step(astep, dev_args, iters=aiters)
+        adt, _ = timed(make_alg2_step, backend, plane_block)
         alg2_mev_s = round(2 * N_EVENTS / adt / 1e6, 2)
     except Exception as e:
         import traceback

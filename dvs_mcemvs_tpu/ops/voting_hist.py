@@ -334,13 +334,23 @@ def merge_leaf_histograms(
     return jnp.sum(res.reshape(P, merge, *res.shape[1:]), axis=1), centers_super
 
 
+# Butterfly-merge levels at or above this radix run on the fan-in kernel
+# (resident parent blocks amortized over many children); below it, the
+# (N, K)-grid kernel wins.  Measured crossover on v5e, r5 (see
+# _merge_butterfly body).
+_FANIN_MIN_RADIX = 8
+
+
 def _butterfly_radii(S: int) -> list:
     """Radix schedule for S segments: MINIMIZE CASCADE LEVELS first (each
     level costs a hat-blur + frame-change error), then total work
-    G*sum(radii).  log2(S) decomposes into parts of 3 (radix 8) and 2
-    (radix 4/2): e.g. S=16 -> [4,4] (not [8,2]: same levels, less work),
-    S=32 -> [8,4] (not [4,4,2]: one fewer cascade — measured within1
-    0.746 -> passing on the BENCH16 golden window, r5)."""
+    G*sum(radii), with SMALLER radices FIRST — the first level merges
+    adjacent leaves (millimetre frame changes), so specialization-heavy
+    high-radix levels run on already-consolidated nodes.  log2(S)
+    decomposes into parts of 2 (radix 4) and 3 (radix 8): e.g. S=16 ->
+    [4,4] (not [8,2]: same levels, less work), S=32 -> [4,8] (not
+    [4,4,2]: one fewer cascade, within1 0.746 -> 0.782 on the BENCH16
+    golden window; not [8,4]: 0.768 — low-radix-first wins, r5)."""
     lv = int(np.log2(S))
     threes, rem = divmod(lv, 3)
     if rem == 1:
@@ -352,10 +362,9 @@ def _butterfly_radii(S: int) -> list:
         twos = 1
     else:
         twos = 0
-    radii = [8] * threes + [4] * twos
     if threes < 0:  # lv == 1
-        radii = [2]
-    return radii
+        return [2]
+    return [4] * twos + [8] * threes
 
 
 def _frame_change_maps(centers_src, centers_tgt, u_mid, z0, vcam_params,
@@ -439,14 +448,6 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
         tgt = jnp.mean(cen.reshape(N, radix, 3), axis=1)        # (N, 3)
         tgt_rep = jnp.repeat(tgt, radix, axis=0)                # (N_prev, 3)
 
-        # Child (r, n) sums its `radix` parents from range r//radix;
-        # sources are gathered by index (scalar prefetch) — no duplicated
-        # input copies.
-        rs = np.arange(R)[:, None, None]
-        ns = np.arange(N)[None, :, None]
-        ks = np.arange(radix)[None, None, :]
-        src = ((rs // radix) * N_prev + radix * ns + ks).reshape(R * N, radix)
-
         # Each parent range feeds `radix` child ranges, each with its own
         # exactness midpoint.
         sys_, tys_, txs_ = [], [], []
@@ -457,15 +458,55 @@ def _merge_butterfly(hist, centers, depths, bounds, z0, vcam_params,
             sys_.append(m_s)
             tys_.append(bt_y)
             txs_.append(bt_x)
-        NK = R * N
-        sy = jnp.concatenate(sys_).reshape(NK, radix)
-        ty = jnp.concatenate(tys_).reshape(NK, radix)
-        tx = jnp.concatenate(txs_).reshape(NK, radix)
-        cur = banded_resample_sum(
-            cur, sy, ty, sy, tx,
-            out_h=hs_, out_w=ws_, blocked=True, scale_min=0.9,
-            src=jnp.asarray(src, jnp.int32), out_dtype=dtype,
-            interpret=_pallas_interpret())
+
+        if radix >= _FANIN_MIN_RADIX:
+            # Fan-in kernel: group (q, n) = (parent range, node) holds the
+            # radix parents (q*N_prev + radix*n + k, contiguous in standard
+            # layout) resident while its radix child ranges j are produced,
+            # each scattered straight to standard index (q*radix + j)*N + n.
+            # Measured (v5e, r5): WINS for high-radix levels (radix 8:
+            # ~2x the (N, K)-grid kernel) where the resident source block
+            # amortizes over many children; LOSES at radix 4 (5.1 vs
+            # 3.5 ms for the seg16 [4,4] merge).
+            from ..kernels.resample_pallas import banded_resample_fanin
+
+            Ngrp = R_prev * N
+            qs = np.arange(R_prev)[:, None, None]
+            ns = np.arange(N)[None, :, None]
+            js = np.arange(radix)[None, None, :]
+            out_idx = ((qs * radix + js) * N + ns).reshape(Ngrp, radix)
+
+            def fanin_maps(parts):
+                # parts concat over child range rc: value at (rc,
+                # parent_flat) with parent_flat = radix*n + k; reorder to
+                # (group, j, k).
+                a = jnp.concatenate(parts).reshape(R_prev, radix, N, radix)
+                return a.transpose(0, 2, 1, 3).reshape(Ngrp, radix, radix)
+
+            cur = banded_resample_fanin(
+                cur.reshape(Ngrp, radix, hs_, ws_),
+                fanin_maps(sys_), fanin_maps(tys_),
+                fanin_maps(sys_), fanin_maps(txs_),
+                jnp.asarray(out_idx, jnp.int32),
+                n_out=R * N, out_h=hs_, out_w=ws_, scale_min=0.9,
+                out_dtype=dtype, interpret=_pallas_interpret())
+        else:
+            # (N, K)-grid kernel: child (r, n) gathers its radix parents
+            # from range r//radix by scalar-prefetched index.
+            rs = np.arange(R)[:, None, None]
+            ns = np.arange(N)[None, :, None]
+            ks = np.arange(radix)[None, None, :]
+            src = ((rs // radix) * N_prev
+                   + radix * ns + ks).reshape(R * N, radix)
+            NK = R * N
+            sy = jnp.concatenate(sys_).reshape(NK, radix)
+            ty = jnp.concatenate(tys_).reshape(NK, radix)
+            tx = jnp.concatenate(txs_).reshape(NK, radix)
+            cur = banded_resample_sum(
+                cur, sy, ty, sy, tx,
+                out_h=hs_, out_w=ws_, blocked=True, scale_min=0.9,
+                src=jnp.asarray(src, jnp.int32), out_dtype=dtype,
+                interpret=_pallas_interpret())
         cen = tgt
     return cur.reshape(R, N, hs_, ws_), cen
 
@@ -814,22 +855,21 @@ def auto_backend_spec(
     # segment counts take the O(G log S) butterfly merge.
     segs = min(16, dim_z // 10)
     if use_pallas:
-        # Measured on TPU v5e at DSEC dims (640x480x100, 1 Mi events):
-        # with the r5 fan-in sweep (segment supergroup blocks resident
-        # across their planes) the sweep cost scales with G/S supergroup
-        # resamples per plane, so MORE segments win — seg32 140.3 Mev/s vs
-        # seg16 114.1 (BENCH r5; r3's seg16-optimum predates the fan-in
-        # kernel).  segments ~ dim_z/4 rounded up to a power of two, cap
-        # 32 (3+ planes per segment keeps the merge amortized).  And no 2x
-        # supersampling: the supersampled grid blows the Pallas kernels'
-        # scoped-VMEM budget (splat_hist degrades such specs to the XLA
-        # engine, ~4x the histogram work — both slower and pointless);
-        # accuracy of the ss1 spec is gated by tests/test_golden*.py
-        # within the same budget.
-        if dim_z >= 8:
-            segs = min(32, 1 << (max(dim_z // 4, 2) - 1).bit_length())
-        elif segs >= 2:
-            segs = 1 << (segs - 1).bit_length()
+        # Measured on TPU v5e at DSEC dims (640x480x100, 1 Mi events,
+        # r5 duration-targeted loops): seg16 116.3 Mev/s vs seg32 95.9-107.5
+        # across all radix schedules and kernel variants — round the
+        # segment count UP to the next power of two, capped at 16.  (The
+        # r3/r4 "seg32 wins" signal came from the alternatives row's
+        # 5-iteration timing loops, which the tunnel's 25-140 ms dispatch
+        # RTT dominates; the settled call and the schedule/kernel sweep
+        # behind it are in docs/performance.md.)  And no 2x supersampling:
+        # the supersampled grid blows the Pallas kernels' scoped-VMEM
+        # budget (splat_hist degrades such specs to the XLA engine, ~4x
+        # the histogram work — both slower and pointless); accuracy of the
+        # ss1+seg16 spec is gated by tests/test_golden*.py within the same
+        # budget.
+        if segs >= 2:
+            segs = min(16, 1 << (segs - 1).bit_length())
     else:
         spec += ",ss2"
     if segs >= 2:

@@ -396,3 +396,17 @@ BUDGET = {
                                    # zurich_city" stand-in)
     "golden_gt_median_planes": 0.5,  # the committed golden itself vs GT
 }
+
+# Per-fixture calibration of the index gates for the BENCH16 window: its
+# 0.39 m of travel gives roughly half the monocular parallax of FULL's
+# 0.70 m, so near-tie pixels flip more under ANY approximate backend — the
+# exact-scatter anchor itself is unaffected (GT median rel 0.0123 there,
+# better than FULL's 0.0244), but the shipped chip spec measures
+# within1 0.747 / within2 0.850 on this window vs 0.777 / 0.858 on FULL
+# (CPU interpret == device to ~1e-4, r4).  Gates sit the same ~1.5-1.7 pt
+# below the shipped spec's measured values as FULL's gates do — the same
+# drift-catching margin, calibrated to the harder fixture.
+BUDGET_BENCH16 = dict(BUDGET, **{
+    "frac_within_1_plane": 0.73,
+    "frac_within_2_planes": 0.835,
+})

@@ -265,10 +265,15 @@ def bin_events_pallas_windowed(
         hy = jnp.pad(hy, ((0, 0), (0, e_pad)), constant_values=float(hs - 1))
         if not binary_w:
             w = jnp.pad(w, ((0, 0), (0, e_pad)))
+    # Unstable sort: the histogram is order-invariant under ties, and the
+    # stability machinery costs ~40 % of the sort (0.90 -> 0.54 ms at
+    # 1 Mi events on v5e, r5).
     if binary_w:
-        hy, hx = jax.lax.sort((hy, hx), dimension=1, num_keys=1)
+        hy, hx = jax.lax.sort((hy, hx), dimension=1, num_keys=1,
+                              is_stable=False)
     else:
-        hy, hx, w = jax.lax.sort((hy, hx, w), dimension=1, num_keys=1)
+        hy, hx, w = jax.lax.sort((hy, hx, w), dimension=1, num_keys=1,
+                                 is_stable=False)
     n_eb = (E + e_pad) // eb
     wh = window_rows
     max_strips = hs // wh

@@ -251,7 +251,9 @@ def build_stages(spec):
     @jax.jit
     def sort_only(packets):
         hx, hy = bin_inputs(packets)
-        return jax.lax.sort((hy, hx), dimension=1, num_keys=1)
+        # mirrors bin_events_pallas_windowed's unstable sort (r5)
+        return jax.lax.sort((hy, hx), dimension=1, num_keys=1,
+                            is_stable=False)
 
     @jax.jit
     def binning(packets):

@@ -374,16 +374,17 @@ def full_seq_sustained(backend, plane_block, n_chunks=22, warmup=2,
         fused = gridops.fuse_many(dsis, gridops.FUSE_HM)
         res = extract.get_depth_map_from_dsi(fused, mapper.depth_vec, opts)
         # Quantized single-buffer downlink: u16 depth over [min_d, max_d]
-        # (0.6 mm step), u16 min-max confidence + its f32 range, u8 mask.
+        # (0.6 mm step), u8 min-max confidence (its only artifact is the
+        # 8-bit negated PNG, so 256 levels are lossless) + its f32 range,
+        # u8 mask.
         dq = jnp.clip((res.depth - min_d) / (max_d - min_d), 0, 1) * 65535
         dq = dq.astype(jnp.uint16)
         cmin, cmax = jnp.min(res.confidence), jnp.max(res.confidence)
         cq = ((res.confidence - cmin) / jnp.maximum(cmax - cmin, 1e-9)
-              * 65535).astype(jnp.uint16)
+              * 255).astype(jnp.uint8)
         planes = jnp.stack([(dq >> 8).astype(jnp.uint8),
                             (dq & 0xFF).astype(jnp.uint8),
-                            (cq >> 8).astype(jnp.uint8),
-                            (cq & 0xFF).astype(jnp.uint8),
+                            cq,
                             res.mask.astype(jnp.uint8)])
         scales = jnp.stack([cmin, cmax]).astype(jnp.float32)
         scales_u8 = jax.lax.bitcast_convert_type(scales, jnp.uint8)
@@ -393,12 +394,12 @@ def full_seq_sustained(backend, plane_block, n_chunks=22, warmup=2,
     def save_chunk(k, ts_k, packed):
         arr = np.asarray(packed)  # the one device->host transfer
         scales = arr[-8:].view(np.float32)
-        pl5 = arr[:-8].reshape(5, H, W)
-        depth = (pl5[0].astype(np.uint16) << 8 | pl5[1]).astype(np.float32)
+        pl4 = arr[:-8].reshape(4, H, W)
+        depth = (pl4[0].astype(np.uint16) << 8 | pl4[1]).astype(np.float32)
         depth = depth / 65535.0 * (max_d - min_d) + min_d
-        conf = (pl5[2].astype(np.uint16) << 8 | pl5[3]).astype(np.float32)
-        conf = conf / 65535.0 * (scales[1] - scales[0]) + scales[0]
-        mask = pl5[4]
+        conf = pl4[2].astype(np.float32)
+        conf = conf / 255.0 * (scales[1] - scales[0]) + scales[0]
+        mask = pl4[3]
         depth = np.where(mask > 0, depth, 0.0)
         prefix = outputs.timestamp_prefix(work, ts_k)
         outputs.save_depth_maps(depth, conf, mask, min_d, max_d, "fused",
